@@ -1,0 +1,84 @@
+"""Periodic box handling: unit cells, wrapping, minimum image.
+
+Mirrors the behaviour of the reference's boundary layer
+(/root/reference/src/boundary.jl:7-17 ``wrap_to_box`` and
+/root/reference/src/initialization.jl:7-18 ``to_unitcell``) but vectorised
+over all particles at once: positions are ``(N, d)`` arrays and the wrap is a
+pair of small ``(d, d)`` matmuls, which XLA fuses into the integrator.
+
+Convention: the unit cell is a ``(d, d)`` matrix whose *columns* are the box
+vectors, so ``cartesian = cell @ fractional`` — identical to the reference
+(``unitcell * frac`` at /root/reference/src/boundary.jl:15).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def to_unitcell(box, dimension: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Normalise a scalar / vector / matrix box spec into a (d, d) cell matrix.
+
+    Reference: /root/reference/src/initialization.jl:7-18.
+    """
+    box = np.asarray(box, dtype=np.float64)
+    if box.ndim == 0:
+        cell = np.eye(dimension) * float(box)
+    elif box.ndim == 1:
+        if box.shape[0] < dimension:
+            raise ValueError(f"box vector of length {box.shape[0]} < dimension {dimension}")
+        cell = np.diag(box[:dimension])
+    elif box.ndim == 2:
+        cell = box[:dimension, :dimension]
+    else:
+        raise ValueError(f"cannot interpret box of shape {box.shape}")
+    return jnp.asarray(cell, dtype=dtype)
+
+
+def box_volume(cell) -> jnp.ndarray:
+    """Volume (area in 2D) = |det(cell)|. Reference: /root/reference/src/simulation.jl:7-9."""
+    return jnp.abs(jnp.linalg.det(cell))
+
+
+def is_orthorhombic(cell) -> bool:
+    """Host-side check that the cell is diagonal (no tilt). Used to select the
+    cell-list engine (orthorhombic) vs the general triclinic path."""
+    c = np.asarray(cell)
+    return bool(np.allclose(c, np.diag(np.diag(c))))
+
+
+def wrap_positions(positions, images, cell, cell_inv):
+    """Wrap all positions into the box and update integer image counts.
+
+    positions: (N, d) cartesian. images: (N, d) int32 crossing counts.
+    Returns (wrapped_positions, new_images).
+
+    Reference: /root/reference/src/boundary.jl:7-17, applied per-particle in a
+    ``@threads`` loop; here a single fused batched op.
+    """
+    frac = positions @ cell_inv.T
+    n_cross = jnp.floor(frac)
+    frac_mod = frac - n_cross
+    wrapped = frac_mod @ cell.T
+    new_images = images + n_cross.astype(images.dtype)
+    return wrapped, new_images
+
+
+def minimum_image(dr, cell, cell_inv):
+    """Apply the minimum-image convention to displacement vectors.
+
+    dr: (..., d) cartesian displacements. Valid when the interaction cutoff is
+    less than half the smallest box width (same restriction as cell lists).
+    """
+    frac = dr @ cell_inv.T
+    frac = frac - jnp.round(frac)
+    return frac @ cell.T
+
+
+def unwrapped_positions(positions, images, cell):
+    """Absolute (unwrapped) coordinates: p + cell @ image.
+
+    Reference: /root/reference/src/io.jl:78-86 ``unwrapped``.
+    """
+    return positions + images.astype(positions.dtype) @ cell.T

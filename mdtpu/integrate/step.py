@@ -1,0 +1,176 @@
+"""Fused simulation step factories — the jitted hot loop body.
+
+TPU design: one pure function ``step(state) -> state`` fusing integrator,
+force engine, thermostat and thermo accumulation; the driver runs it under
+``lax.fori_loop`` so the device never syncs with the host between outputs.
+
+Reference call stack being re-designed (SURVEY.md 3.2-3.3):
+  MD path:       integrate_half! -> map_pairwise! -> integrate_second_half!
+                 -> ensemble_step!   (/root/reference/src/simulation.jl:88-117)
+  Brownian path: map_pairwise! -> integrate_brownian!
+                 (/root/reference/src/simulation.jl:232-256)
+
+Deliberate fix vs the reference: initial forces are computed at state
+construction (the reference starts its first half-kick with zero forces).
+RNG: each step uses ``fold_in(state.key, state.step)`` so runs are
+deterministic and exactly resumable from a checkpoint.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from mdtpu.core.box import wrap_positions
+from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
+from mdtpu.integrate.thermostat import bussi_rescale, compute_temperature
+from mdtpu.utils.math import kahan_add
+
+SQRT3 = math.sqrt(3.0)
+
+
+def engine_forces(engine, positions, diameters, cell, cell_inv, nbrs):
+    """Evaluate forces, transparently rebuilding the engine's neighbor state
+    when stale (fixed shapes, so the rebuild is a ``lax.cond``)."""
+    rebuild = engine.needs_rebuild(positions, nbrs, cell, cell_inv)
+    nbrs = jax.lax.cond(
+        rebuild,
+        lambda p, n: engine.allocate(p, diameters, cell, cell_inv),
+        lambda p, n: n,
+        positions,
+        nbrs,
+    )
+    return engine.compute(positions, diameters, cell, cell_inv, nbrs)
+
+
+def _add(x, comp, dx, compensated: bool):
+    if compensated:
+        return kahan_add(x, comp, dx)
+    return x + dx, comp
+
+
+def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True):
+    """Velocity-Verlet step with NVE/NVT ensemble logic fused in."""
+    if isinstance(ensemble, Brownian):
+        raise TypeError("use make_brownian_step for Brownian dynamics")
+    is_nvt = isinstance(ensemble, NVT)
+
+    def step(state: SimulationState) -> SimulationState:
+        dtype = state.positions.dtype
+        dt = jnp.asarray(params.dt, dtype)
+        half = 0.5 * dt
+        cell, cell_inv = state.unitcell, state.unitcell_inv
+
+        # First half-kick + drift (/root/reference/src/integrate.jl:8-21).
+        v, vc = _add(state.velocities, state.vel_comp, state.forces * half, compensated)
+        x, xc = _add(state.positions, state.pos_comp, v * dt, compensated)
+        x, images = wrap_positions(x, state.images, cell, cell_inv)
+
+        # Force evaluation (the analog of map_pairwise!).
+        energy, virial, forces, nbrs = engine_forces(
+            engine, x, state.diameters, cell, cell_inv, state.nbrs
+        )
+
+        # Second half-kick (/root/reference/src/integrate.jl:28-38).
+        v, vc = _add(v, vc, forces * half, compensated)
+
+        # Ensemble logic (/root/reference/src/integrate.jl:40-53). The
+        # schedule is called with the 1-indexed step, matching the reference.
+        step_1indexed = state.step + 1
+        if is_nvt:
+            ktemp_t = ensemble.ktemp(step_1indexed)
+            key_step = jax.random.fold_in(state.key, state.step)
+            v = bussi_rescale(key_step, v, ktemp_t, state.nf, dt, ensemble.tau)
+            if compensated:
+                # Rescaling invalidates the velocity compensation buffer.
+                vc = jnp.zeros_like(vc)
+        temperature = compute_temperature(v, state.nf)
+
+        return state.replace(
+            positions=x,
+            velocities=v,
+            forces=forces,
+            images=images,
+            step=step_1indexed,
+            energy=energy,
+            virial=virial,
+            temperature=temperature,
+            pos_comp=xc,
+            vel_comp=vc,
+            nbrs=nbrs,
+        )
+
+    return step
+
+
+def make_brownian_step(params: Parameters, ensemble: Brownian, engine,
+                       compensated: bool = True):
+    """Overdamped Euler-Maruyama (Ermak-McCammon) step.
+
+    Matches the intended reference behaviour (/root/reference/src/integrate.jl:66-83,
+    /root/reference/src/simulation.jl:212): displacement
+    ``dx = F * dt / kT + xi * sqrt(2 dt)`` with xi uniform on [-sqrt(3), sqrt(3)]
+    (variance-matched uniform noise instead of Gaussians — a standard
+    weak-order-1 substitution the reference makes for speed). The reference's
+    Brownian driver itself is broken as written (SURVEY.md quirk 1); this
+    implements the clearly intended semantics.
+    """
+
+    def step(state: SimulationState) -> SimulationState:
+        dtype = state.positions.dtype
+        dt = jnp.asarray(params.dt, dtype)
+        ktemp = jnp.asarray(ensemble.ktemp, dtype)
+        sigma = jnp.sqrt(2.0 * dt)
+        cell, cell_inv = state.unitcell, state.unitcell_inv
+
+        # Forces FIRST, then move (first-order integrator;
+        # /root/reference/src/simulation.jl:232-250).
+        energy, virial, forces, nbrs = engine_forces(
+            engine, state.positions, state.diameters, cell, cell_inv, state.nbrs
+        )
+
+        key_step = jax.random.fold_in(state.key, state.step)
+        u = jax.random.uniform(key_step, state.positions.shape, dtype=dtype)
+        noise = (2.0 * u - 1.0) * SQRT3
+
+        dx = forces * (dt / ktemp) + noise * sigma
+        x, xc = _add(state.positions, state.pos_comp, dx, compensated)
+        x, images = wrap_positions(x, state.images, cell, cell_inv)
+
+        # Virial sampled every 10 steps for the averaged Brownian pressure
+        # (/root/reference/src/simulation.jl:253-256).
+        take = (state.step % 10) == 0
+        virial_accum = state.virial_accum + jnp.where(take, virial, 0.0).astype(
+            state.virial_accum.dtype
+        )
+        nprom = state.nprom + take.astype(state.nprom.dtype)
+
+        return state.replace(
+            positions=x,
+            forces=forces,
+            images=images,
+            step=state.step + 1,
+            energy=energy,
+            virial=virial,
+            temperature=ktemp,
+            pos_comp=xc,
+            nbrs=nbrs,
+            virial_accum=virial_accum,
+            nprom=nprom,
+        )
+
+    return step
+
+
+def make_step(params: Parameters, ensemble, engine, compensated: bool = True):
+    """Dispatch on ensemble type — the analog of the reference's
+    ``ensemble_step!`` multiple dispatch (/root/reference/src/integrate.jl:40-53)
+    plus the two ``run_simulation!`` methods."""
+    if isinstance(ensemble, Brownian):
+        return make_brownian_step(params, ensemble, engine, compensated)
+    if isinstance(ensemble, (NVT, NVE)):
+        return make_md_step(params, ensemble, engine, compensated)
+    raise TypeError(f"unknown ensemble type: {type(ensemble).__name__}")

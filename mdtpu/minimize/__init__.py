@@ -1,0 +1,38 @@
+"""Energy minimization (FIRE)."""
+
+from __future__ import annotations
+
+import os
+
+from mdtpu.minimize.fire import fire_minimize
+
+
+def minimize(state, params, pathname, dimension=None, *, engine=None,
+             method="FIRE", save_config="minimized.xyz", **kwargs):
+    """Minimize and save the final configuration — API parity with the
+    reference's ``minimize!`` (/root/reference/src/minimize.jl:166-197).
+
+    Returns ``(state, energy, converged, n_steps)``.
+    """
+    from mdtpu.io.xyz import write_xyz
+    from mdtpu.ops import select_engine
+
+    if method not in ("FIRE", ":FIRE"):
+        raise ValueError(f"unknown minimization method: {method}")
+    if engine is None:
+        engine = select_engine(params.potential, state.cutoff, state)
+
+    state, energy, converged, n_steps = fire_minimize(state, params, engine, **kwargs)
+
+    write_xyz(
+        os.path.join(pathname, save_config),
+        0,
+        state.unitcell,
+        state.positions,
+        state.diameters,
+        mode="w",
+    )
+    return state, energy, converged, n_steps
+
+
+__all__ = ["minimize", "fire_minimize"]

@@ -1,0 +1,61 @@
+"""Potential protocol: the canonical pair-interaction interface.
+
+The reference exposes a multiple-dispatch interface ``evaluate(pot, r, sigma1,
+sigma2) -> (energy, force)`` (/root/reference/src/types.jl:1-6 and the hot-path
+call at /root/reference/src/pairwise.jl:31). Here the canonical form is a
+single traceable method on a pytree dataclass:
+
+    potential.evaluate(r, sigma_i, sigma_j) -> (u, f)
+
+where ``r`` may be any-shaped array of pair distances (guaranteed > 0 by the
+engine), and ``f`` is the scalar force magnitude ``-dV/dr`` so that the pair
+force vector is ``f * dr / r`` (same convention as
+/root/reference/src/pairwise.jl:32). Cutoff behaviour is internal to the
+potential (it must return (0, 0) beyond its own cutoff); the engine applies an
+additional global cutoff mask, exactly like CellListMap does in the reference.
+
+User-defined potentials subclass ``Potential`` (as a ``flax.struct.dataclass``)
+and implement ``evaluate``; they then work in every engine, the minimizer, and
+the sharded path with no further registration — the analog of adding a Julia
+``evaluate`` method (/root/reference/README.md custom-potential example).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class Potential:
+    """Base class (mixin) for pair potentials.
+
+    Subclasses must be ``flax.struct.dataclass``es and implement
+    ``evaluate(r, sigma_i, sigma_j) -> (u, f)`` with traceable jnp ops.
+    """
+
+    def evaluate(self, r, sigma_i, sigma_j):
+        raise NotImplementedError(
+            f"evaluate not implemented for potential type: {type(self).__name__}"
+        )
+
+    # Long-range (tail) corrections; generic no-op interface mirroring
+    # /root/reference/src/potentials.jl:281-293. Overrides return the *total*
+    # system correction (energy) / correction to pressure.
+    def energy_lrc(self, n_particles, volume):
+        return jnp.asarray(0.0)
+
+    def pressure_lrc(self, n_particles, volume):
+        return jnp.asarray(0.0)
+
+
+def evaluate(potential, r, sigma_i=1.0, sigma_j=1.0):
+    """Free-function form of the evaluate interface (API parity with the
+    reference's exported ``evaluate``)."""
+    return potential.evaluate(r, sigma_i, sigma_j)
+
+
+def energy_lrc(potential, n_particles, volume):
+    return potential.energy_lrc(n_particles, volume)
+
+
+def pressure_lrc(potential, n_particles, volume):
+    return potential.pressure_lrc(n_particles, volume)

@@ -1,0 +1,99 @@
+"""Lennard-Jones potential with working energy/force shifting and tail
+corrections.
+
+Reference: /root/reference/src/potentials.jl:31-164. Unlike the reference —
+where the ``shift``/``force_shift`` flags are stored but dead because
+``evaluate`` always calls ``lj_unshifted``
+(/root/reference/src/potentials.jl:160-164; SURVEY.md quirk 4) — the flags here
+actually select the shifted kernels. Shift constants are computed at the
+*mixed* sigma so polydisperse systems stay continuous at the cutoff.
+
+Long-range corrections: /root/reference/src/potentials.jl:111-152 —
+  energy:   N * 8*pi*rho/3 * [ (sigma/rc)^9 / 3 - (sigma/rc)^3 ]
+  pressure: 16*pi*rho^2/3 * [ 2*(sigma/rc)^9 / 3 - (sigma/rc)^3 ]
+applied only when ``tail_correction`` is set.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from flax import struct
+
+from mdtpu.potentials.base import Potential
+
+
+def _sr_powers(sigma, r):
+    sr = sigma / r
+    sr2 = sr * sr
+    sr6 = sr2 * sr2 * sr2
+    sr12 = sr6 * sr6
+    return sr6, sr12
+
+
+@struct.dataclass
+class LennardJones(Potential):
+    epsilon: jnp.ndarray = 1.0
+    sigma: jnp.ndarray = 1.0
+    r_cut: jnp.ndarray = 2.5
+    shift: bool = struct.field(pytree_node=False, default=False)
+    force_shift: bool = struct.field(pytree_node=False, default=False)
+    tail_correction: bool = struct.field(pytree_node=False, default=False)
+    # Mixing rule for unlike sigmas: "lorentz" (arithmetic mean, matching the
+    # reference's hard-coded choice /root/reference/src/potentials.jl:162) or
+    # "none" (always use self.sigma).
+    mixing: str = struct.field(pytree_node=False, default="lorentz")
+
+    def _mixed_sigma(self, sigma_i, sigma_j, dtype):
+        if self.mixing == "none":
+            return jnp.asarray(self.sigma, dtype)
+        return 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+
+    def evaluate(self, r, sigma_i=1.0, sigma_j=1.0):
+        dtype = jnp.asarray(r).dtype
+        eps = jnp.asarray(self.epsilon, dtype)
+        rc = jnp.asarray(self.r_cut, dtype)
+        sigma = self._mixed_sigma(sigma_i, sigma_j, dtype)
+
+        inside = r < rc
+        r_safe = jnp.where(inside, r, jnp.ones_like(r))
+        sr6, sr12 = _sr_powers(sigma, r_safe)
+        v = 4.0 * eps * (sr12 - sr6)
+        f = 24.0 * eps * (2.0 * sr12 - sr6) / r_safe
+
+        if self.shift or self.force_shift:
+            src6, src12 = _sr_powers(sigma, rc)
+            v_cut = 4.0 * eps * (src12 - src6)
+            v = v - v_cut
+            if self.force_shift:
+                # V_fs = V - V_c + (r - r_c) * F_c with F_c = -dV/dr at r_c, so
+                # both V and F vanish continuously at the cutoff. (The
+                # reference's energy term has the opposite sign,
+                # /root/reference/src/potentials.jl:100, which contradicts its
+                # own force expression at :101 — unreachable dead code there
+                # anyway, SURVEY.md quirk 4.)
+                f_cut = 24.0 * eps * (2.0 * src12 - src6) / rc
+                v = v + (r_safe - rc) * f_cut
+                f = f - f_cut
+
+        zero = jnp.zeros_like(v)
+        return jnp.where(inside, v, zero), jnp.where(inside, f, zero)
+
+    # Total tail corrections (/root/reference/src/potentials.jl:111-152).
+    def energy_lrc(self, n_particles, volume):
+        if not self.tail_correction:
+            return jnp.asarray(0.0)
+        rho = n_particles / volume
+        src3 = (self.sigma / self.r_cut) ** 3
+        src9 = src3 ** 3
+        per_particle = (8.0 * math.pi * rho / 3.0) * (src9 / 3.0 - src3)
+        return per_particle * n_particles
+
+    def pressure_lrc(self, n_particles, volume):
+        if not self.tail_correction:
+            return jnp.asarray(0.0)
+        rho = n_particles / volume
+        src3 = (self.sigma / self.r_cut) ** 3
+        src9 = src3 ** 3
+        return (16.0 * math.pi * rho ** 2 / 3.0) * (2.0 * src9 / 3.0 - src3)

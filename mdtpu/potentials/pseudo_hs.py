@@ -1,0 +1,55 @@
+"""Pseudo-hard-sphere (WCA-like) potential.
+
+Reference: /root/reference/src/potentials.jl:1-29. lambda = 50 steep
+inverse-power pair; constants ``B_PARAM`` (cutoff in units of sigma) and
+``A_PARAM`` chosen so the potential and force vanish continuously at the
+cutoff with contact value matching the pseudo-HS mapping of Jover et al.
+
+TPU notes: the r^50 powers are computed by binary exponentiation (pure VPU
+multiplies; see mdtpu.utils.math.ipow) rather than exp/log, mirroring the
+reference's FastPow.@fastpow.
+
+Deviations from the reference (deliberate fixes, documented in SURVEY.md
+"behavioral quirks" 2-3):
+  * the cutoff scales with the mixed sigma (``r < B_PARAM * sigma``); the
+    reference cuts at fixed ``b_param`` (/root/reference/src/potentials.jl:20)
+    which is only correct for sigma = 1. Set ``sigma_scaled_cutoff=False`` for
+    bit-parity with the reference on monodisperse systems (identical there).
+  * the force includes the 1/sigma factor required by F = -dV/dr (verified by
+    autodiff in tests); the reference omits it (identical at sigma = 1).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from mdtpu.potentials.base import Potential
+from mdtpu.utils.math import ipow
+
+# /root/reference/src/potentials.jl:2-3
+B_PARAM = 1.0204081632653061
+A_PARAM = 134.5526623421209
+
+
+@struct.dataclass
+class PseudoHS(Potential):
+    lam: int = struct.field(pytree_node=False, default=50)
+    sigma_scaled_cutoff: bool = struct.field(pytree_node=False, default=True)
+
+    def evaluate(self, r, sigma_i=1.0, sigma_j=1.0):
+        lam = self.lam
+        dtype = jnp.asarray(r).dtype
+        sigma = 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+        cutoff = B_PARAM * sigma if self.sigma_scaled_cutoff else jnp.asarray(B_PARAM, dtype)
+        inside = r < cutoff
+        r_safe = jnp.where(inside, r, jnp.ones_like(r))
+        sr = sigma / r_safe
+        sr_lm1 = ipow(sr, lam - 1)
+        sr_l = sr_lm1 * sr
+        sr_lp1 = sr_l * sr
+        a = jnp.asarray(A_PARAM, dtype)
+        u = a * (sr_l - sr_lm1) + 1.0
+        f = (a / sigma) * (lam * sr_lp1 - (lam - 1) * sr_l)
+        zero = jnp.zeros_like(u)
+        return jnp.where(inside, u, zero), jnp.where(inside, f, zero)

@@ -1,0 +1,105 @@
+"""Lennard-Jones with XPLOR smooth switching and optional tail corrections.
+
+Reference: /root/reference/src/potentials.jl:166-271. The switching function
+S(r) is 1 below r_on, a smooth rational on [r_on, r_cut), and 0 beyond; the
+pair force here is exactly -d/dr [V(r) S(r)], verified by autodiff in tests.
+
+Deliberate fixes vs the reference (do-not-replicate bugs):
+  * the reference's switch derivative (/root/reference/src/potentials.jl:199-204)
+    mis-expands d(a^2 b)/dr — its first two terms cancel leaving +4*r*a^2/denom,
+    whereas the true derivative is 4*r*a*(a-b)/denom = 12*r*a*(r_on^2-r^2)/denom
+    (negative on the switching window, as a decaying switch requires). We use
+    the correct derivative.
+  * the reference's XPLOR ``evaluate`` is keyword-only and therefore never
+    dispatches from the pair loop (SURVEY.md quirk 2); this implements the
+    canonical positional interface and works in every engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from flax import struct
+
+from mdtpu.potentials.base import Potential
+from mdtpu.potentials.lennard_jones import _sr_powers
+
+
+def xplor_switch(r, r_on, r_cut):
+    """Value and derivative (dS/dr) of the XPLOR switching function.
+
+    Reference: /root/reference/src/potentials.jl:190-209.
+    Returns (S, dSdr) with S in [0, 1] and dSdr <= 0 on [r_on, r_cut].
+    """
+    rc2 = r_cut * r_cut
+    ron2 = r_on * r_on
+    r2 = r * r
+    denom = (rc2 - ron2) ** 3
+    a = rc2 - r2
+    b = rc2 + 2.0 * r2 - 3.0 * ron2
+    s_mid = a * a * b / denom
+    # d/dr [a^2 b] = 2a * (-2r) * b + a^2 * 4r = 4r * a * (a - b)
+    ds_mid = 4.0 * r * a * (a - b) / denom
+
+    below = r < r_on
+    above = r >= r_cut
+    s = jnp.where(below, jnp.ones_like(s_mid), jnp.where(above, jnp.zeros_like(s_mid), s_mid))
+    ds = jnp.where(below | above, jnp.zeros_like(ds_mid), ds_mid)
+    return s, ds
+
+
+@struct.dataclass
+class LennardJonesXPLOR(Potential):
+    epsilon: jnp.ndarray = 1.0
+    sigma: jnp.ndarray = 1.0
+    r_on: jnp.ndarray = 2.0
+    r_cut: jnp.ndarray = 2.5
+    tail_correction: bool = struct.field(pytree_node=False, default=False)
+    mixing: str = struct.field(pytree_node=False, default="lorentz")
+
+    def evaluate(self, r, sigma_i=1.0, sigma_j=1.0):
+        dtype = jnp.asarray(r).dtype
+        eps = jnp.asarray(self.epsilon, dtype)
+        rc = jnp.asarray(self.r_cut, dtype)
+        ron = jnp.asarray(self.r_on, dtype)
+        if self.mixing == "none":
+            sigma = jnp.asarray(self.sigma, dtype)
+        else:
+            sigma = 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+
+        inside = r < rc
+        r_safe = jnp.where(inside, r, jnp.ones_like(r))
+        sr6, sr12 = _sr_powers(sigma, r_safe)
+        v = 4.0 * eps * (sr12 - sr6)
+        f = 24.0 * eps * (2.0 * sr12 - sr6) / r_safe  # = -dV/dr
+
+        s, dsdr = xplor_switch(r_safe, ron, rc)
+        # force = -d(V*S)/dr = S * (-dV/dr) - V * dS/dr
+        force = s * f - v * dsdr
+        energy = v * s
+
+        zero = jnp.zeros_like(energy)
+        return jnp.where(inside, energy, zero), jnp.where(inside, force, zero)
+
+    # /root/reference/src/potentials.jl:256-271 (same closed forms as sharp-
+    # cutoff LJ, using r_cut).
+    def energy_lrc(self, n_particles, volume):
+        if not self.tail_correction:
+            return jnp.asarray(0.0)
+        rho = n_particles / volume
+        src3 = (self.sigma / self.r_cut) ** 3
+        src9 = src3 ** 3
+        return (8.0 / 3.0) * math.pi * rho * n_particles * self.epsilon * self.sigma ** 3 * (
+            src9 / 3.0 - src3
+        )
+
+    def pressure_lrc(self, n_particles, volume):
+        if not self.tail_correction:
+            return jnp.asarray(0.0)
+        rho = n_particles / volume
+        src3 = (self.sigma / self.r_cut) ** 3
+        src9 = src3 ** 3
+        return (16.0 / 3.0) * math.pi * rho ** 2 * self.epsilon * self.sigma ** 3 * (
+            2.0 / 3.0 * src9 - src3
+        )

@@ -1,0 +1,201 @@
+"""Simulation driver: the analog of the reference's two ``run_simulation!``
+methods (/root/reference/src/simulation.jl:40-178 MD, :181-308 Brownian).
+
+TPU-first design — *event-segmented device loop*: the union of output steps
+(every ``frequency`` plus optional log-spaced snapshots) is computed on the
+host up front; between consecutive events the jitted ``advance(state, n)``
+runs ``n`` fused steps under ``lax.fori_loop`` with a *traced* bound, so one
+compilation serves every segment length and the device never syncs mid-
+segment. Host I/O (thermo rows, LAMMPS frames, snapshots) happens only at
+event boundaries, and the next segment is dispatched *before* the previous
+segment's arrays are pulled, overlapping file I/O with device compute.
+
+File outputs are format-identical to the reference (thermo ``%d %.6f %.6f
+%.6f`` rows, LAMMPS dump frames, final.xyz, optional zstd compression and
+new-log-times.txt).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdtpu.core.box import box_volume
+from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
+from mdtpu.integrate.step import engine_forces, make_step
+from mdtpu.io.lammps import write_lammps_frame
+from mdtpu.io.xyz import write_xyz
+from mdtpu.io.logtimes import generate_log_times
+
+THERMO_HEADER = "# Step Energy Temperature Pressure\n"
+
+
+def open_files(pathname, traj_name, thermo_name):
+    """Delete stale outputs, return paths
+    (/root/reference/src/io.jl:225-239)."""
+    os.makedirs(pathname, exist_ok=True)
+    trajectory_file = os.path.join(pathname, traj_name)
+    thermo_file = os.path.join(pathname, thermo_name)
+    for f in (trajectory_file, thermo_file):
+        if os.path.isfile(f):
+            os.remove(f)
+    return trajectory_file, thermo_file
+
+
+def finalize_simulation(trajectory_file, pathname, total_steps, state,
+                        compress=False):
+    """Write final.xyz and optionally zstd-compress the trajectory
+    (/root/reference/src/simulation.jl:11-36)."""
+    write_xyz(os.path.join(pathname, "final.xyz"), total_steps, state.unitcell,
+              state.positions, state.diameters, mode="w")
+    if compress and os.path.isfile(trajectory_file):
+        from mdtpu.io.compress import compress_zstd
+
+        compress_zstd(trajectory_file)
+
+
+def _make_advance(step_fn):
+    @jax.jit
+    def advance(state, n_steps):
+        return jax.lax.fori_loop(0, n_steps, lambda i, s: step_fn(s), state)
+
+    return advance
+
+
+def run_simulation(
+    state: SimulationState,
+    params: Parameters,
+    ensemble,
+    total_steps: int,
+    frequency: int,
+    pathname: str,
+    *,
+    traj_name: str = "trajectory.xyz",
+    thermo_name: str = "thermo.txt",
+    compress: bool = False,
+    log_times: bool = False,
+    engine=None,
+    compensated: bool = True,
+    checkpoint_every: Optional[int] = None,
+) -> SimulationState:
+    """Run ``total_steps`` of dynamics, writing thermo + trajectory every
+    ``frequency`` steps (labels and ordering match the reference: outputs for
+    step label ``s`` are written after executing loop iteration ``s``,
+    including s = 0). Returns the final state."""
+    from mdtpu.ops import select_engine
+
+    if engine is None:
+        engine = select_engine(params.potential, state.cutoff, state)
+
+    trajectory_file, thermo_file = open_files(pathname, traj_name, thermo_name)
+    with open(thermo_file, "a") as io:
+        io.write(THERMO_HEADER)
+
+    is_brownian = isinstance(ensemble, Brownian)
+    potential = params.potential
+    volume = float(box_volume(state.unitcell))
+    dim = state.dimension
+    n = state.n_particles
+    density = float(params.density)
+    e_lrc = float(potential.energy_lrc(n, volume))
+    p_lrc = float(potential.pressure_lrc(n, volume))
+
+    # Materialise engine state + initial forces (deliberate fix: the
+    # reference's first half-kick uses zero forces).
+    if state.nbrs is None:
+        nbrs = engine.allocate(state.positions, state.diameters,
+                               state.unitcell, state.unitcell_inv)
+        state = state.replace(nbrs=nbrs)
+    if not is_brownian:
+        e0, w0, f0, nbrs = engine_forces(engine, state.positions, state.diameters,
+                                         state.unitcell, state.unitcell_inv,
+                                         state.nbrs)
+        state = state.replace(forces=f0, energy=e0, virial=w0, nbrs=nbrs)
+
+    step_fn = make_step(params, ensemble, engine, compensated=compensated)
+    advance = _make_advance(step_fn)
+
+    start_step = int(state.step)
+
+    # --- Event schedule (host-side) -------------------------------------
+    snap_set = set()
+    if log_times:
+        snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
+        snap_set = set([0] + [s for s in snaps if s < start_step + total_steps])
+    thermo_steps = set(
+        s for s in range(start_step, start_step + total_steps) if s % frequency == 0
+    )
+    event_steps = sorted(thermo_steps | snap_set)
+    end_step = start_step + total_steps
+
+    pending = None  # (step_label, host-fetch futures) from the previous event
+
+    def flush(pending_item):
+        if pending_item is None:
+            return
+        s, dev = pending_item
+        e = float(dev["energy"])
+        t = float(dev["temperature"])
+        if is_brownian:
+            # /root/reference/src/simulation.jl:259-266 — per-particle energy
+            # without LRC, virial averaged over the 10-step samples.
+            nprom = max(int(dev["nprom"]), 1)
+            ener = e / n
+            pressure = float(dev["virial_accum"]) / (dim * nprom * volume) \
+                + density * float(ensemble.ktemp)
+            t = float(ensemble.ktemp)
+        else:
+            # /root/reference/src/simulation.jl:118-131
+            ener = (e + e_lrc) / n
+            pressure = float(dev["virial"]) / (dim * volume) + density * t + p_lrc
+        if s in thermo_steps:
+            with open(thermo_file, "a") as io:
+                io.write(f"{s} {ener:.6f} {t:.6f} {pressure:.6f}\n")
+            write_lammps_frame(trajectory_file, s, dev["unitcell"],
+                               dev["positions"], dev["images"],
+                               dev["diameters"], mode="a")
+        if s in snap_set:
+            write_lammps_frame(os.path.join(pathname, f"snapshot.{s}"), s,
+                               dev["unitcell"], dev["positions"], dev["images"],
+                               dev["diameters"], mode="w")
+
+    current = start_step
+    for ev in event_steps:
+        # Execute through loop iteration `ev` (i.e. ev - current + 1 steps).
+        n_adv = ev - current + 1
+        state = advance(state, n_adv)
+        current = ev + 1
+        # Pull what the outputs need; dispatch happens before the previous
+        # event's write (flush) so I/O overlaps compute.
+        dev = {
+            "energy": state.energy, "temperature": state.temperature,
+            "virial": state.virial, "virial_accum": state.virial_accum,
+            "nprom": state.nprom, "positions": state.positions,
+            "images": state.images, "unitcell": state.unitcell,
+            "diameters": state.diameters,
+        }
+        if is_brownian and ev in thermo_steps:
+            # Reset accumulators after output
+            # (/root/reference/src/simulation.jl:266).
+            state = state.replace(
+                virial_accum=jnp.zeros_like(state.virial_accum),
+                nprom=jnp.zeros_like(state.nprom),
+            )
+        flush(pending)
+        pending = (ev, jax.device_get(dev))
+        if checkpoint_every is not None and ev % checkpoint_every == 0:
+            from mdtpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(state, os.path.join(pathname, f"checkpoint.{ev}.npz"))
+
+    if current < end_step:
+        state = advance(state, end_step - current)
+    flush(pending)
+
+    finalize_simulation(trajectory_file, pathname, end_step, state, compress)
+    return state

@@ -1,0 +1,147 @@
+"""State construction and velocity initialization.
+
+Reference: /root/reference/src/initialization.jl. The four init modes are
+preserved (user arrays / from Extended-XYZ file / user box + random / default
+cubic box from density + random), Packmol is replaced by the JAX-native
+packer (mdtpu.sim.pack), and the result is a fixed-shape device pytree.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdtpu.core.box import to_unitcell, wrap_positions
+from mdtpu.core.types import Parameters, SimulationState
+
+
+def initialize_velocities(ktemp, key, n_particles, dimension, dtype=jnp.float32):
+    """Maxwell-Boltzmann velocities at temperature ``ktemp`` with COM motion
+    removed and exact rescale to nf = d*(N-1) degrees of freedom.
+
+    Reference: /root/reference/src/initialization.jl:32-47.
+    """
+    v = jax.random.normal(key, (n_particles, dimension), dtype=dtype)
+    v = v - jnp.mean(v, axis=0, keepdims=True)
+    sum_v2 = jnp.sum(v * v)
+    fs = jnp.sqrt(ktemp / (sum_v2 / ((n_particles - 1) * dimension)))
+    return v * fs
+
+
+def build_state_from_arrays(positions, diameters, unitcell, key, *,
+                            velocities=None, dtype=jnp.float32,
+                            cutoff: float = 1.5, step: int = 0) -> SimulationState:
+    """Assemble a SimulationState pytree from raw arrays (all zeros where the
+    reference leaves fields empty: velocities, images, forces)."""
+    positions = jnp.asarray(positions, dtype)
+    n, dim = positions.shape
+    cell = jnp.asarray(unitcell, dtype)
+    cell_inv = jnp.linalg.inv(cell)
+    if velocities is None:
+        velocities = jnp.zeros_like(positions)
+    else:
+        velocities = jnp.asarray(velocities, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    return SimulationState(
+        positions=positions,
+        velocities=velocities,
+        forces=jnp.zeros_like(positions),
+        images=jnp.zeros((n, dim), jnp.int32),
+        diameters=jnp.asarray(diameters, dtype),
+        unitcell=cell,
+        unitcell_inv=cell_inv,
+        key=key,
+        step=jnp.asarray(step, jnp.int32),
+        nf=jnp.asarray(dim * (n - 1.0), dtype),
+        energy=zero,
+        virial=zero,
+        temperature=zero,
+        pos_comp=jnp.zeros_like(positions),
+        vel_comp=jnp.zeros_like(positions),
+        nbrs=None,
+        virial_accum=zero,
+        nprom=jnp.asarray(0, jnp.int32),
+        cutoff=float(cutoff),
+    )
+
+
+def initialize_state(
+    params: Parameters,
+    pathname: str,
+    *,
+    from_file: str = "",
+    dimension: int = 3,
+    random_init: bool = False,
+    cutoff: float = 1.5,
+    key: Optional[jnp.ndarray] = None,
+    seed: int = 0,
+    unitcell: Any = None,
+    positions: Any = None,
+    diameters: Any = None,
+    dtype=jnp.float32,
+    pack_tol: float = 1.0,
+) -> SimulationState:
+    """Construct the simulation state (reference:
+    /root/reference/src/initialization.jl:49-157).
+
+    Modes, in priority order:
+      A. user-provided ``positions`` (+ ``diameters``; box inferred from the
+         coordinate bounding box if ``unitcell`` is absent)
+      B. ``from_file``: read an Extended-XYZ snapshot
+      C. user ``unitcell``: random packed positions, unit diameters
+      D. default cubic/square box with L = (N / rho)^(1/d): random packed
+
+    Velocities are left at zero — the user assigns them via
+    ``state.replace(velocities=initialize_velocities(...))``, matching the
+    reference's workflow (/root/reference/README.md usage). Writes
+    ``init.xyz`` into ``pathname``.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    os.makedirs(pathname, exist_ok=True)
+
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.float64)
+        n = positions.shape[0]
+        if diameters is None:
+            diameters = np.ones(n)
+        if unitcell is None:
+            span = positions.max(axis=0) - positions.min(axis=0)
+            cell = to_unitcell(span, dimension, dtype)
+        else:
+            cell = to_unitcell(unitcell, dimension, dtype)
+    elif from_file:
+        cell_np, positions, diameters = _read_xyz(from_file, dimension)
+        cell = jnp.asarray(cell_np, dtype)
+    else:
+        n = params.n_particles
+        if unitcell is not None:
+            cell = to_unitcell(unitcell, dimension, dtype)
+        else:
+            boxl = (n / float(params.density)) ** (1.0 / dimension)
+            cell = to_unitcell(boxl, dimension, dtype)
+        from mdtpu.sim.pack import pack_positions
+
+        key, pack_key = jax.random.split(key)
+        positions = pack_positions(pack_key, cell, n, dimension,
+                                   tol=pack_tol, dtype=dtype)
+        diameters = np.ones(n)
+
+    state = build_state_from_arrays(positions, diameters, cell, key,
+                                    dtype=dtype, cutoff=cutoff)
+
+    from mdtpu.io.xyz import write_xyz
+
+    write_xyz(os.path.join(pathname, "init.xyz"), 0, state.unitcell,
+              state.positions, state.diameters, mode="w")
+    return state
+
+
+def _read_xyz(path, dimension):
+    from mdtpu.io.xyz import read_xyz
+
+    return read_xyz(path, dimension)
