@@ -1,0 +1,90 @@
+"""Headline benchmark: MD steps/sec on the real TPU chip.
+
+Config matches BASELINE.json's north-star metric: N = 65,536 Lennard-Jones
+fluid (rho = 0.8, kT = 1.0, r_cut = 2.5, dt = 0.002) with the cell-binned
+neighbor-list engine, f32 with Kahan-compensated integration, NVE hot loop
+(includes on-device neighbor rebuilds). Prints ONE JSON line.
+
+``vs_baseline`` is the ratio against the single-node multithreaded Julia
+reference. The reference repo publishes no numbers and Julia is not in this
+image (BASELINE.md), so the denominator is a documented estimate:
+~20 steps/sec at N = 65k LJ for 16-thread CellListMap (65k * ~75 neighbors
+/ 2 = 2.4M pair evaluations/step at the ~50M pair-eval/s/thread CellListMap
+reports in arXiv:2202.06427-era benchmarks). Target: vs_baseline >= 50.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+JULIA_BASELINE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring
+
+
+def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
+    from mdtpu.core.types import NVE, NVT, Parameters
+    from mdtpu.integrate.step import make_step, engine_forces
+    from mdtpu.ops import select_engine
+    from mdtpu.potentials.lennard_jones import LennardJones
+    from mdtpu.sim.initialization import (
+        build_state_from_arrays,
+        initialize_velocities,
+        lattice_positions,
+    )
+
+    d = 3
+    L = (n / rho) ** (1.0 / d)
+    cell = jnp.eye(d, dtype=dtype) * L
+    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.03,
+                            key=jax.random.PRNGKey(0))
+    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
+                                    jax.random.PRNGKey(1), dtype=dtype,
+                                    cutoff=2.5)
+    v = initialize_velocities(temp, jax.random.PRNGKey(2), n, d, dtype=dtype)
+    state = state.replace(velocities=v)
+
+    pot = LennardJones(r_cut=2.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    engine = select_engine(pot, 2.5, state, prefer="neighbor")
+
+    nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
+                           state.unitcell_inv)
+    e, w, f, nbrs = engine.compute(state.positions, state.diameters,
+                                   state.unitcell, state.unitcell_inv, nbrs)
+    state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+
+    # Equilibrate shortly under NVT so the benchmark runs a realistic fluid.
+    nvt = make_step(params, NVT(temp, 0.2), engine)
+    advance_nvt = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nvt(x), s))
+    state = advance_nvt(state, 200)
+
+    nve = make_step(params, NVE(), engine)
+    advance = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nve(x), s),
+                      donate_argnums=(0,))
+    return state, advance
+
+
+def main():
+    state, advance = build()
+    # Warmup/compile.
+    state = advance(state, 10)
+    jax.block_until_ready(state)
+
+    n_steps = 600
+    t0 = time.perf_counter()
+    state = advance(state, n_steps)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / elapsed
+    print(json.dumps({
+        "metric": "steps/sec, N=65536 LJ fluid (rho=0.8, rc=2.5, f32, neighbor-list engine)",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / JULIA_BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""BASELINE config 3: overdamped Brownian dynamics
+(/root/reference/src/simulation.jl:181-308 intended behaviour)."""
+
+import jax
+
+from mdtpu import Brownian, Parameters, PseudoHS, initialize_state, run_simulation
+
+
+def main(n_particles=1024, steps=20_000, out="./out_brownian"):
+    params = Parameters(density=0.5, n_particles=n_particles, dt=1e-4,
+                        potential=PseudoHS())
+    state = initialize_state(params, out, dimension=3, cutoff=1.5, seed=2)
+    state = run_simulation(state, params, Brownian(1.0), steps, 500, out,
+                           log_times=True)
+    print(f"Brownian done at step {int(state.step)}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

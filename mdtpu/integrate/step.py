@@ -35,14 +35,18 @@ SQRT3 = math.sqrt(3.0)
 def engine_forces(engine, positions, diameters, cell, cell_inv, nbrs):
     """Evaluate forces, transparently rebuilding the engine's neighbor state
     when stale (fixed shapes, so the rebuild is a ``lax.cond``)."""
-    rebuild = engine.needs_rebuild(positions, nbrs, cell, cell_inv)
-    nbrs = jax.lax.cond(
-        rebuild,
-        lambda p, n: engine.allocate(p, diameters, cell, cell_inv),
-        lambda p, n: n,
-        positions,
-        nbrs,
-    )
+    if nbrs is None:
+        # Structure-changing first build (static decision at trace time).
+        nbrs = engine.allocate(positions, diameters, cell, cell_inv)
+    else:
+        rebuild = engine.needs_rebuild(positions, nbrs, cell, cell_inv)
+        nbrs = jax.lax.cond(
+            rebuild,
+            lambda p, n: engine.allocate(p, diameters, cell, cell_inv),
+            lambda p, n: n,
+            positions,
+            nbrs,
+        )
     return engine.compute(positions, diameters, cell, cell_inv, nbrs)
 
 

@@ -55,6 +55,7 @@ def fire_minimize(
     f_inc: float = 1.2,
     f_dec: float = 0.2,
     n_min: int = 5,
+    dmax: float = 0.1,
 ):
     """Minimize the potential energy of ``state`` in place (functionally).
 
@@ -119,8 +120,17 @@ def fire_minimize(
         steps_since_neg = jnp.where(positive, ssn_pos, jnp.asarray(0, jnp.int32))
         v = jnp.where(positive, v, jnp.zeros_like(v))
 
-        # Position update + wrap (/root/reference/src/minimize.jl:117-123).
-        x = c.positions + dt * v
+        # Position update + wrap (/root/reference/src/minimize.jl:117-123),
+        # with a LAMMPS-style per-particle displacement cap ``dmax`` so steep
+        # potentials (or overlapping f32 starts) cannot explode the step.
+        disp = dt * v
+        disp_norm = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+        disp_norm = jnp.where(jnp.isfinite(disp_norm), disp_norm,
+                              jnp.full_like(disp_norm, jnp.inf))
+        cap = jnp.minimum(1.0, dmax / jnp.maximum(disp_norm, 1e-30))
+        disp = jnp.where(jnp.isfinite(disp), disp * cap,
+                         jnp.zeros_like(disp))
+        x = c.positions + disp
         x, images = wrap_positions(x, c.images, cell, cell_inv)
 
         energy, virial, forces, nb = forces_at(x, c.nbrs)

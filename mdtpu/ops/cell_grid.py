@@ -1,0 +1,207 @@
+"""Roll-stencil cell-grid engine — gather-free pair interactions on TPU.
+
+The (N, K) neighbor-list engine's hot path is dominated by random gathers,
+which TPUs execute poorly. This engine removes gathers from the hot path
+entirely by exploiting the structure of a cell grid:
+
+  * particles are **sorted by cell** into padded per-component buffers of
+    shape (nx, ny, nz, C) (C = cell capacity) at rebuild time — one cheap
+    (N,) argsort + (N,) scatters;
+  * at every step, the 3^d stencil neighbors of *all* cells simultaneously
+    are just **circular rolls** of the padded grid (``jnp.roll`` over the
+    grid axes — static permutations, no indices materialised);
+  * pair interactions are dense (n_cells, C, C) broadcasts per stencil
+    offset — pure VPU work on dense tiles, minimum-imaged per component;
+  * forces come out in sorted order and are mapped back with a single (N,)
+    gather.
+
+This trades ~10x more pair-slot FLOPs (padding waste: C^2 vs true neighbor
+counts) for the complete elimination of (N, K) random gathers and of the
+(N, 27C) candidate compaction sort at build time — the classic TPU trade of
+dense regular compute for irregular memory access. Replaces the role of
+CellListMap.jl (/root/reference/src/initialization.jl:100-107) as the
+production engine for large N.
+
+Capacity overflow sets a flag (checked by the driver at event boundaries)
+exactly like the neighbor-list engine.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mdtpu.ops.neighbor_list import _grid_for_box
+
+
+@struct.dataclass
+class CellGridState:
+    addr: jnp.ndarray           # (N,) slot address of each particle: cid*C + rank
+    occupied: jnp.ndarray       # (n_cells*C,) bool slot-occupancy mask
+    sorted_comps: jnp.ndarray   # (d, n_cells*C) padded sorted position components
+    sorted_diam: jnp.ndarray    # (n_cells*C,) padded sorted diameters
+    ref_positions: jnp.ndarray  # (N, d) positions at build time
+    overflow: jnp.ndarray       # () bool
+
+
+@struct.dataclass
+class CellGridEngine:
+    potential: Any
+    cutoff: float = struct.field(pytree_node=False, default=1.5)
+    skin: float = struct.field(pytree_node=False, default=0.3)
+    grid: Tuple[int, ...] = struct.field(pytree_node=False, default=(3, 3, 3))
+    cell_capacity: int = struct.field(pytree_node=False, default=16)
+
+    @classmethod
+    def create(cls, potential, cutoff, skin, unitcell, n_particles,
+               cell_capacity=None):
+        grid = _grid_for_box(unitcell, cutoff, skin)
+        if grid is None:
+            raise ValueError(
+                "box too small for a cell grid at this cutoff; use NaivePairEngine"
+            )
+        if cell_capacity is None:
+            volume = abs(float(np.linalg.det(np.asarray(unitcell, np.float64))))
+            mean_occ = n_particles / volume * (volume / int(np.prod(grid)))
+            cell_capacity = int(math.ceil(mean_occ + 5.0 * math.sqrt(mean_occ) + 4))
+        return cls(potential=potential, cutoff=float(cutoff), skin=float(skin),
+                   grid=grid, cell_capacity=int(cell_capacity))
+
+    def with_grown_capacity(self):
+        return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
+
+    # ------------------------------------------------------------------ build
+    def allocate(self, positions, diameters, cell, cell_inv):
+        n, dim = positions.shape
+        grid = jnp.asarray(self.grid, jnp.int32)
+        n_cells = int(np.prod(self.grid))
+        cap = self.cell_capacity
+
+        frac = positions @ cell_inv.T
+        frac = frac - jnp.floor(frac)
+        coords = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
+        strides = np.concatenate(
+            [np.cumprod(self.grid[::-1])[-2::-1], [1]]).astype(np.int32)
+        cid = jnp.sum(coords * jnp.asarray(strides), axis=1)
+
+        order = jnp.argsort(cid).astype(jnp.int32)
+        cid_sorted = cid[order]
+        counts = jnp.zeros((n_cells,), jnp.int32).at[cid].add(1)
+        starts = jnp.cumsum(counts) - counts
+        rank = jnp.arange(n, dtype=jnp.int32) - starts[cid_sorted]
+        overflow = jnp.any(counts > cap)
+
+        slot_ok = rank < cap
+        addr_sorted = jnp.where(slot_ok, cid_sorted * cap + rank, n_cells * cap)
+        # addr per *particle* (invert the sort): addr[order[i]] = addr_sorted[i]
+        addr = jnp.zeros((n,), jnp.int32).at[order].set(addr_sorted)
+
+        pad = n_cells * cap + 1  # one trash slot for overflow writes
+        occupied = jnp.zeros((pad,), bool).at[addr].set(True)[:-1]
+
+        pos_t = positions.T
+        sorted_comps = jnp.stack([
+            jnp.zeros((pad,), positions.dtype).at[addr].set(pos_t[k])[:-1]
+            for k in range(dim)
+        ])
+        sorted_diam = jnp.ones((pad,), diameters.dtype).at[addr].set(diameters)[:-1]
+
+        return CellGridState(
+            addr=addr, occupied=occupied, sorted_comps=sorted_comps,
+            sorted_diam=sorted_diam, ref_positions=positions,
+            overflow=overflow,
+        )
+
+    # ---------------------------------------------------------------- rebuild
+    def needs_rebuild(self, positions, nbrs: CellGridState, cell, cell_inv):
+        lengths = jnp.diag(cell)
+        disp = positions - nbrs.ref_positions
+        disp = disp - lengths * jnp.round(disp / lengths)
+        half_skin = 0.5 * self.skin
+        return jnp.any(jnp.sum(disp * disp, axis=-1) > half_skin * half_skin)
+
+    # ---------------------------------------------------------------- forces
+    def compute(self, positions, diameters, cell, cell_inv, nbrs: CellGridState):
+        n, dim = positions.shape
+        dtype = positions.dtype
+        cap = self.cell_capacity
+        n_cells = int(np.prod(self.grid))
+        pad = n_cells * cap + 1
+        lengths_np = [cell[k, k] for k in range(dim)]
+
+        # Refresh padded coordinates at current positions (scatter via the
+        # build-time addresses — positions moved less than skin/2 since).
+        comp_grids = []
+        pos_t = positions.T   # contiguous component rows for the scatters
+        for k in range(dim):
+            g = jnp.zeros((pad,), dtype).at[nbrs.addr].set(pos_t[k])[:-1]
+            comp_grids.append(g.reshape(self.grid + (cap,)))
+        occ = nbrs.occupied.reshape(self.grid + (cap,))
+        diam_grid = nbrs.sorted_diam.reshape(self.grid + (cap,))
+
+        grid_axes = tuple(range(dim))
+        cutoff2 = jnp.asarray(self.cutoff * self.cutoff, dtype)
+
+        own_shape = (n_cells, cap, 1)
+        nbr_shape = (n_cells, 1, cap)
+        own_comps = [c.reshape(n_cells, cap)[:, :, None] for c in comp_grids]
+        own_occ = occ.reshape(n_cells, cap)[:, :, None]
+        own_diam = diam_grid.reshape(n_cells, cap)[:, :, None]
+
+        eye = jnp.eye(cap, dtype=bool)[None, :, :]
+
+        offsets = np.array(np.meshgrid(*([(-1, 0, 1)] * dim),
+                                       indexing="ij")).reshape(dim, -1).T
+
+        energy = jnp.zeros((), dtype)
+        virial = jnp.zeros((), dtype)
+        f_comps = [jnp.zeros((n_cells, cap), dtype) for _ in range(dim)]
+
+        for off in offsets:
+            is_self = bool((off == 0).all())
+            shift = tuple(int(-o) for o in off)
+            if is_self:
+                nbr_comps = [c.reshape(nbr_shape) for c in comp_grids]
+                nbr_occ = occ.reshape(nbr_shape)
+                nbr_diam = diam_grid.reshape(nbr_shape)
+            else:
+                nbr_comps = [
+                    jnp.roll(c, shift, axis=grid_axes).reshape(nbr_shape)
+                    for c in comp_grids
+                ]
+                nbr_occ = jnp.roll(occ, shift, axis=grid_axes).reshape(nbr_shape)
+                nbr_diam = jnp.roll(diam_grid, shift, axis=grid_axes).reshape(nbr_shape)
+
+            d_comps = []
+            r2 = jnp.zeros((n_cells, cap, cap), dtype)
+            for k in range(dim):
+                dk = own_comps[k] - nbr_comps[k]
+                lk = lengths_np[k]
+                dk = dk - lk * jnp.round(dk / lk)
+                d_comps.append(dk)
+                r2 = r2 + dk * dk
+
+            mask = own_occ & nbr_occ & (r2 < cutoff2)
+            if is_self:
+                mask = mask & (~eye)
+            r = jnp.sqrt(jnp.where(mask, r2, jnp.ones_like(r2)))
+            u, f = self.potential.evaluate(r, own_diam, nbr_diam)
+            u = jnp.where(mask, u, jnp.zeros_like(u))
+            f = jnp.where(mask, f, jnp.zeros_like(f))
+
+            energy = energy + 0.5 * jnp.sum(u)
+            virial = virial + 0.5 * jnp.sum(f * r)
+            f_over_r = f / r
+            for k in range(dim):
+                f_comps[k] = f_comps[k] + jnp.sum(f_over_r * d_comps[k], axis=2)
+
+        # Back to particle order: one (N,) gather per component.
+        forces = jnp.stack(
+            [jnp.reshape(fc, (-1,))[nbrs.addr] for fc in f_comps], axis=-1
+        )
+        return energy, virial, forces, nbrs

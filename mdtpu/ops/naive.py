@@ -12,11 +12,11 @@ Engine protocol (shared by all engines):
     out   = engine.compute(positions, diameters, cell, cell_inv, nbrs)
     # out = (energy, virial, forces, nbrs')
 
-Implementation: one batched (N, N) distance computation with minimum-image
-displacements and a masked potential evaluation — all pairs are computed both
-ways and halved, so there is no scatter at all; forces come out of a single
-row-sum. On TPU this is entirely VPU work with perfect regularity and is
-competitive up to N ~ 16k; beyond that the cell-list engine takes over.
+TPU layout note: all pair quantities are computed **component-wise** as (N, N)
+arrays — never (N, N, d). A trailing dim of 3 would be padded to 128 lanes by
+TPU tiling (T(8,128)), a 42x memory blowup; per-component (N, N) tiles are
+dense. Each pair is computed from both sides and halved, so there is no
+scatter at all — forces come out of row reductions.
 """
 
 from __future__ import annotations
@@ -26,7 +26,15 @@ from typing import Any
 import jax.numpy as jnp
 from flax import struct
 
-from mdtpu.core.box import minimum_image
+
+def _minimum_image_components(d_comps, cell, cell_inv):
+    """Minimum-image per-component displacement arrays (any cell, unrolled
+    over the d*d scalar cell entries so the arrays stay 2-D tiles)."""
+    dim = len(d_comps)
+    frac = [sum(cell_inv[k, j] * d_comps[j] for j in range(dim))
+            for k in range(dim)]
+    frac = [f - jnp.round(f) for f in frac]
+    return [sum(cell[i, k] * frac[k] for k in range(dim)) for i in range(dim)]
 
 
 @struct.dataclass
@@ -38,11 +46,14 @@ class NaivePairEngine:
         return ()
 
     def compute(self, positions, diameters, cell, cell_inv, nbrs=()):
-        n = positions.shape[0]
+        n, dim = positions.shape
         dtype = positions.dtype
-        dr = positions[:, None, :] - positions[None, :, :]
-        dr = minimum_image(dr, cell, cell_inv)
-        r2 = jnp.sum(dr * dr, axis=-1)
+
+        pos_t = positions.T   # contiguous component rows (see module note)
+        comps = [pos_t[k] for k in range(dim)]
+        d_comps = [c[:, None] - c[None, :] for c in comps]
+        d_comps = _minimum_image_components(d_comps, cell, cell_inv)
+        r2 = sum(dc * dc for dc in d_comps)
 
         eye = jnp.eye(n, dtype=bool)
         cutoff = jnp.asarray(self.cutoff, dtype)
@@ -55,7 +66,10 @@ class NaivePairEngine:
 
         energy = 0.5 * jnp.sum(u)
         virial = 0.5 * jnp.sum(f * r)
-        forces = jnp.einsum("ij,ijd->id", f / r, dr)
+        f_over_r = f / r
+        forces = jnp.stack(
+            [jnp.sum(f_over_r * dc, axis=1) for dc in d_comps], axis=-1
+        )
         return energy, virial, forces, nbrs
 
     def needs_rebuild(self, positions, nbrs, cell, cell_inv):

@@ -150,13 +150,21 @@ class NeighborListEngine:
         nbr_cids = jnp.sum(nbr_coords * strides, axis=-1)               # (N, S)
         cand = cell_buf[nbr_cids].reshape(n, -1)                        # (N, S*cap)
 
-        # Distances to candidates (orthorhombic minimum image).
+        # Distances to candidates — component-wise (N, S*cap) tiles; an
+        # (N, S*cap, d) gather would be 42x-padded by TPU tiling.
         lengths = jnp.diag(cell)
         cand_safe = jnp.where(cand < n, cand, 0)
-        pj = positions[cand_safe]                                       # (N, SC, d)
-        dr = positions[:, None, :] - pj
-        dr = dr - lengths * jnp.round(dr / lengths)
-        r2 = jnp.sum(dr * dr, axis=-1)
+        r2 = jnp.zeros(cand.shape, positions.dtype)
+        # (d, N) transpose: component rows are contiguous, so the (N, SC)
+        # gathers below are fast. Gathering from a column view of (N, d) is
+        # pathological on TPU (padded-lane strided access).
+        pos_t = positions.T
+        for k in range(dim):
+            ck = pos_t[k]
+            dk = ck[:, None] - ck[cand_safe]
+            lk = lengths[k]
+            dk = dk - lk * jnp.round(dk / lk)
+            r2 = r2 + dk * dk
         self_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
         valid = (cand < n) & (cand != self_ids) & (r2 < r_list * r_list)
 
@@ -189,16 +197,28 @@ class NeighborListEngine:
 
     # -- force evaluation ---------------------------------------------------
     def compute(self, positions, diameters, cell, cell_inv, nbrs: NeighborState):
+        """Hot path: per-component (N, K) gathers + VPU math, no scatter.
+
+        This is what runs every step inside the fused jitted step; the build
+        above runs only when the skin displacement test fires (every ~10-40
+        steps at liquid densities).
+        """
         n, dim = positions.shape
         idx = nbrs.idx
         valid = idx < n
         idx_safe = jnp.where(valid, idx, 0)
 
         lengths = jnp.diag(cell)
-        pj = positions[idx_safe]                 # (N, K, d)
-        dr = positions[:, None, :] - pj
-        dr = dr - lengths * jnp.round(dr / lengths)
-        r2 = jnp.sum(dr * dr, axis=-1)           # (N, K)
+        d_comps = []
+        r2 = jnp.zeros(idx.shape, positions.dtype)
+        pos_t = positions.T                       # contiguous component rows
+        for k in range(dim):
+            ck = pos_t[k]
+            dk = ck[:, None] - ck[idx_safe]       # (N, K)
+            lk = lengths[k]
+            dk = dk - lk * jnp.round(dk / lk)
+            d_comps.append(dk)
+            r2 = r2 + dk * dk
 
         cutoff = jnp.asarray(self.cutoff, positions.dtype)
         mask = valid & (r2 < cutoff * cutoff)
@@ -211,5 +231,8 @@ class NeighborListEngine:
 
         energy = 0.5 * jnp.sum(u)
         virial = 0.5 * jnp.sum(f * r)
-        forces = jnp.sum((f / r)[:, :, None] * dr, axis=1)
+        f_over_r = f / r
+        forces = jnp.stack(
+            [jnp.sum(f_over_r * dk, axis=1) for dk in d_comps], axis=-1
+        )
         return energy, virial, forces, nbrs

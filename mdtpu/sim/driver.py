@@ -96,6 +96,17 @@ def run_simulation(
     with open(thermo_file, "a") as io:
         io.write(THERMO_HEADER)
 
+    # Async trajectory writer (C++ background thread when available). With
+    # compress=True the zstd stream is written directly — same end state as
+    # the reference's compress-then-delete (trajectory.xyz.zst, no plain
+    # file), without the 2x disk and post-pass.
+    from mdtpu.io.native_writer import open_trajectory_writer
+
+    traj_path = trajectory_file + ".zst" if compress else trajectory_file
+    if os.path.isfile(traj_path):
+        os.remove(traj_path)
+    traj_writer = open_trajectory_writer(traj_path, compress=compress)
+
     is_brownian = isinstance(ensemble, Brownian)
     potential = params.potential
     volume = float(box_volume(state.unitcell))
@@ -156,9 +167,8 @@ def run_simulation(
         if s in thermo_steps:
             with open(thermo_file, "a") as io:
                 io.write(f"{s} {ener:.6f} {t:.6f} {pressure:.6f}\n")
-            write_lammps_frame(trajectory_file, s, dev["unitcell"],
-                               dev["positions"], dev["images"],
-                               dev["diameters"], mode="a")
+            traj_writer.write_frame(s, dev["unitcell"], dev["positions"],
+                                    dev["images"], dev["diameters"])
         if s in snap_set:
             write_lammps_frame(os.path.join(pathname, f"snapshot.{s}"), s,
                                dev["unitcell"], dev["positions"], dev["images"],
@@ -196,6 +206,9 @@ def run_simulation(
     if current < end_step:
         state = advance(state, end_step - current)
     flush(pending)
+    traj_writer.close()
 
-    finalize_simulation(trajectory_file, pathname, end_step, state, compress)
+    # Compression already streamed into trajectory.xyz.zst above.
+    finalize_simulation(trajectory_file, pathname, end_step, state,
+                        compress=False)
     return state

@@ -19,6 +19,25 @@ from mdtpu.core.box import to_unitcell, wrap_positions
 from mdtpu.core.types import Parameters, SimulationState
 
 
+def lattice_positions(n_particles, unitcell, dimension=3, dtype=jnp.float32,
+                      jitter=0.0, key=None):
+    """Simple-cubic (square in 2D) lattice filling the box — an overlap-free
+    start for large systems where packing is unnecessary (benchmarks, melts).
+    Extension beyond the reference (which only packs randomly or reads files).
+    """
+    cell = np.asarray(unitcell, dtype=np.float64)
+    per_side = int(np.ceil(n_particles ** (1.0 / dimension)))
+    idx = np.indices((per_side,) * dimension).reshape(dimension, -1).T[:n_particles]
+    frac = (idx + 0.5) / per_side
+    pos = frac @ cell.T
+    pos = jnp.asarray(pos, dtype)
+    if jitter > 0.0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        pos = pos + jitter * jax.random.normal(key, pos.shape, dtype=dtype)
+    return pos
+
+
 def initialize_velocities(ktemp, key, n_particles, dimension, dtype=jnp.float32):
     """Maxwell-Boltzmann velocities at temperature ``ktemp`` with COM motion
     removed and exact rescale to nf = d*(N-1) degrees of freedom.

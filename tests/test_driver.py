@@ -1,0 +1,137 @@
+"""End-to-end run_simulation: file outputs, formats, resume, Brownian path,
+log-spaced snapshots, compression — the analog of exercising the reference's
+README workflow (/root/reference/README.md:11-66)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdtpu.core.types import NVE, NVT, Brownian, Parameters
+from mdtpu.io.xyz import read_xyz
+from mdtpu.ops.naive import NaivePairEngine
+from mdtpu.potentials.pseudo_hs import PseudoHS
+from mdtpu.sim.driver import run_simulation
+from mdtpu.sim.initialization import initialize_state, initialize_velocities
+
+
+@pytest.fixture()
+def small_system(tmp_path):
+    pot = PseudoHS()
+    params = Parameters(density=0.5, n_particles=64, dt=0.001, potential=pot)
+    state = initialize_state(params, str(tmp_path), dimension=3, cutoff=1.5,
+                             dtype=jnp.float64, seed=1)
+    v = initialize_velocities(1.0, jax.random.PRNGKey(2), 64, 3, dtype=jnp.float64)
+    state = state.replace(velocities=v)
+    return state, params, str(tmp_path)
+
+
+def test_initialize_state_writes_init_xyz(small_system):
+    state, params, path = small_system
+    assert os.path.isfile(os.path.join(path, "init.xyz"))
+    cell, pos, diam = read_xyz(os.path.join(path, "init.xyz"), 3)
+    assert pos.shape == (64, 3)
+    np.testing.assert_allclose(diam, np.ones(64), atol=1e-6)
+
+
+def test_run_simulation_nvt_outputs(small_system):
+    state, params, path = small_system
+    final = run_simulation(state, params, NVT(1.0, 0.1), total_steps=50,
+                           frequency=10, pathname=path)
+    assert int(final.step) == 50
+
+    thermo = os.path.join(path, "thermo.txt")
+    lines = open(thermo).read().splitlines()
+    assert lines[0] == "# Step Energy Temperature Pressure"
+    rows = [l.split() for l in lines[1:]]
+    assert [r[0] for r in rows] == ["0", "10", "20", "30", "40"]
+    for r in rows:
+        assert len(r) == 4
+        float(r[1]), float(r[2]), float(r[3])
+
+    traj = open(os.path.join(path, "trajectory.xyz")).read()
+    assert traj.count("ITEM: TIMESTEP") == 5
+    assert "ITEM: ATOMS id type radius x y z xu yu zu" in traj
+    assert os.path.isfile(os.path.join(path, "final.xyz"))
+    cell, pos, diam = read_xyz(os.path.join(path, "final.xyz"), 3)
+    np.testing.assert_allclose(pos, np.asarray(final.positions), atol=1e-6)
+
+
+def test_run_simulation_nve_and_temperature_sane(small_system):
+    state, params, path = small_system
+    final = run_simulation(state, params, NVE(), total_steps=30, frequency=15,
+                           pathname=path)
+    temps = [float(l.split()[2]) for l in
+             open(os.path.join(path, "thermo.txt")).read().splitlines()[1:]]
+    assert all(0.1 < t < 3.0 for t in temps)
+
+
+def test_run_simulation_brownian(small_system):
+    state, params, path = small_system
+    final = run_simulation(state, params, Brownian(1.2), total_steps=40,
+                           frequency=20, pathname=path)
+    lines = open(os.path.join(path, "thermo.txt")).read().splitlines()[1:]
+    assert len(lines) == 2
+    for l in lines:
+        step, e, t, p = l.split()
+        assert float(t) == pytest.approx(1.2)  # Brownian writes ktemp as T
+    # accumulators were reset after each output
+    assert int(final.nprom) < 4
+
+
+def test_run_simulation_compress(small_system):
+    state, params, path = small_system
+    run_simulation(state, params, NVE(), total_steps=10, frequency=5,
+                   pathname=path, compress=True)
+    assert os.path.isfile(os.path.join(path, "trajectory.xyz.zst"))
+    assert not os.path.isfile(os.path.join(path, "trajectory.xyz"))
+
+
+def test_run_simulation_log_times(small_system):
+    state, params, path = small_system
+    run_simulation(state, params, NVE(), total_steps=20, frequency=100,
+                   pathname=path, log_times=True)
+    snaps = [f for f in os.listdir(path) if f.startswith("snapshot.")]
+    # log times within 20 steps: 0, 1, 2, 3, 4, 6, 8, 11, 15
+    assert "snapshot.0" in snaps and "snapshot.1" in snaps
+    assert len(snaps) >= 5
+    assert os.path.isfile(os.path.join(path, "new-log-times.txt"))
+
+
+def test_resume_from_final_xyz(small_system, tmp_path):
+    # The reference's resume path: re-read the written configuration
+    # (/root/reference/src/initialization.jl:77-80).
+    state, params, path = small_system
+    run_simulation(state, params, NVT(1.0, 0.1), total_steps=20, frequency=10,
+                   pathname=path)
+    state2 = initialize_state(params, str(tmp_path) + "/resume",
+                              from_file=os.path.join(path, "final.xyz"),
+                              dimension=3, dtype=jnp.float64)
+    assert state2.n_particles == 64
+    v = initialize_velocities(1.0, jax.random.PRNGKey(3), 64, 3, jnp.float64)
+    state2 = state2.replace(velocities=v)
+    final2 = run_simulation(state2, params, NVT(1.0, 0.1), total_steps=10,
+                            frequency=5, pathname=str(tmp_path) + "/resume")
+    assert int(final2.step) == 10
+
+
+def test_exact_checkpoint_resume(small_system):
+    # Full-state checkpoint/resume reproduces the NVE trajectory exactly.
+    from mdtpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    state, params, path = small_system
+    mid = run_simulation(state, params, NVE(), total_steps=10, frequency=5,
+                         pathname=path)
+    ck = os.path.join(path, "state.npz")
+    save_checkpoint(mid, ck)
+    end_a = run_simulation(mid, params, NVE(), total_steps=10, frequency=5,
+                           pathname=path + "/a")
+    restored = load_checkpoint(ck, state)
+    end_b = run_simulation(restored, params, NVE(), total_steps=10, frequency=5,
+                           pathname=path + "/b")
+    np.testing.assert_array_equal(np.asarray(end_a.positions),
+                                  np.asarray(end_b.positions))
+    np.testing.assert_array_equal(np.asarray(end_a.velocities),
+                                  np.asarray(end_b.velocities))

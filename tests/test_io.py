@@ -1,0 +1,118 @@
+"""I/O: Ext-XYZ round-trip, LAMMPS dump format, log-times, zstd, checkpoints
+(SURVEY.md section 4 unit tests)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdtpu.io.checkpoint import load_checkpoint, save_checkpoint
+from mdtpu.io.compress import compress_zstd, decompress_zstd
+from mdtpu.io.lammps import format_lammps_frame
+from mdtpu.io.logtimes import generate_log_times
+from mdtpu.io.xyz import read_xyz, write_xyz
+from mdtpu.sim.initialization import build_state_from_arrays
+
+
+def test_xyz_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 5, (17, 3))
+    diam = rng.uniform(0.8, 1.2, 17)
+    cell = np.diag([5.0, 6.0, 7.0])
+    path = str(tmp_path / "conf.xyz")
+    write_xyz(path, 42, cell, pos, diam, mode="w")
+    cell2, pos2, diam2 = read_xyz(path, 3)
+    np.testing.assert_allclose(cell2, cell, atol=1e-12)
+    np.testing.assert_allclose(pos2, pos, atol=1e-6)
+    np.testing.assert_allclose(diam2, diam, atol=1e-6)
+
+
+def test_xyz_roundtrip_triclinic_2d(tmp_path):
+    pos = np.array([[0.5, 0.5], [1.5, 1.0]])
+    diam = np.array([1.0, 1.1])
+    cell = np.array([[4.0, 0.7], [0.0, 3.0]])
+    path = str(tmp_path / "c2.xyz")
+    write_xyz(path, 0, cell, pos, diam, mode="w")
+    cell2, pos2, diam2 = read_xyz(path, 2)
+    np.testing.assert_allclose(cell2, cell, atol=1e-12)  # column-major parity
+    np.testing.assert_allclose(pos2, pos, atol=1e-6)
+
+
+def test_xyz_header_format(tmp_path):
+    # Header must match /root/reference/src/io.jl:42-70
+    path = str(tmp_path / "h.xyz")
+    write_xyz(path, 3, np.eye(3) * 2.0, np.zeros((1, 3)), np.ones(1), mode="w")
+    lines = open(path).read().splitlines()
+    assert lines[0] == "1"
+    assert lines[1].startswith('Lattice="')
+    assert "Properties=type:I:1:id:I:1:radius:R:1:pos:R:3" in lines[1]
+    assert "Time=3" in lines[1]
+    assert lines[2].startswith("1 1 0.500000 ")
+
+
+def test_lammps_frame_3d_format():
+    # /root/reference/src/io.jl:96-170
+    pos = np.array([[0.5, 0.5, 0.5]])
+    img = np.array([[1, 0, -1]])
+    frame = format_lammps_frame(7, np.diag([2.0, 3.0, 4.0]), pos, img, np.ones(1))
+    lines = frame.splitlines()
+    assert lines[0] == "ITEM: TIMESTEP" and lines[1] == "7"
+    assert lines[2] == "ITEM: NUMBER OF ATOMS" and lines[3] == "1"
+    assert lines[4] == "ITEM: BOX BOUNDS xy xz yz pp pp pp"
+    assert lines[8] == "ITEM: ATOMS id type radius x y z xu yu zu"
+    cols = lines[9].split()
+    assert cols[:3] == ["1", "1", "0.500000"]
+    # unwrapped = pos + cell @ image
+    np.testing.assert_allclose([float(c) for c in cols[6:9]], [2.5, 0.5, -3.5])
+
+
+def test_lammps_frame_2d_format():
+    frame = format_lammps_frame(0, np.diag([2.0, 3.0]), np.zeros((1, 2)),
+                                np.zeros((1, 2), int), np.ones(1))
+    lines = frame.splitlines()
+    assert lines[4] == "ITEM: BOX BOUNDS xy pp pp"
+    assert lines[8] == "ITEM: ATOMS id type radius x y xu yu"
+
+
+def test_log_times(tmp_path):
+    # /root/reference/src/io.jl:17-36: sorted, unique, includes 1, 1.35^i floors
+    logs = generate_log_times(save_dir=str(tmp_path), max_step=2000)
+    assert logs == sorted(set(logs))
+    assert 1 in logs
+    assert all(t <= 2000 for t in logs)
+    assert os.path.isfile(tmp_path / "new-log-times.txt")
+    first = open(tmp_path / "new-log-times.txt").readline()
+    assert first.startswith("#maxsnap=40,base=1.35")
+
+
+def test_zstd_roundtrip(tmp_path):
+    path = str(tmp_path / "traj.xyz")
+    payload = "hello trajectory\n" * 1000
+    open(path, "w").write(payload)
+    out = compress_zstd(path)
+    assert out.endswith(".zst") and os.path.isfile(out)
+    assert not os.path.isfile(path)  # original deleted, like the reference
+    restored = decompress_zstd(out)
+    assert open(restored).read() == payload
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    key = jax.random.PRNGKey(9)
+    pos = jax.random.uniform(key, (8, 3), dtype=jnp.float64) * 4.0
+    state = build_state_from_arrays(pos, jnp.ones(8), jnp.eye(3) * 4.0, key,
+                                    dtype=jnp.float64)
+    state = state.replace(step=jnp.asarray(123, jnp.int32),
+                          velocities=state.velocities + 0.5)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(state, path)
+    template = build_state_from_arrays(jnp.zeros((8, 3)), jnp.ones(8),
+                                       jnp.eye(3) * 4.0, jax.random.PRNGKey(0),
+                                       dtype=jnp.float64)
+    restored = load_checkpoint(path, template)
+    np.testing.assert_array_equal(restored.positions, state.positions)
+    np.testing.assert_array_equal(restored.velocities, state.velocities)
+    assert int(restored.step) == 123
+    np.testing.assert_array_equal(
+        jax.random.key_data(restored.key), jax.random.key_data(state.key)
+    )
