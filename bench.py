@@ -17,6 +17,10 @@ import json
 import time
 
 import jax
+
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 
 JULIA_BASELINE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring

@@ -2,16 +2,23 @@
 
 Engines implement the protocol documented in mdtpu.ops.naive:
   allocate / compute / needs_rebuild with fixed shapes throughout.
+
+Three engines, one protocol:
+  * NaivePairEngine   — O(N^2) all-pairs oracle; small N and triclinic cells.
+  * NeighborListEngine — (N, K) padded Verlet lists; fast on CPU where random
+    gathers are cheap.
+  * CellGridEngine    — roll-stencil sorted-cell engine; gather-free hot path,
+    the production engine on TPU.
 """
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from mdtpu.ops.naive import NaivePairEngine
 
-# The O(N^2) engine wins below this size; the cell-binned neighbor-list
-# engine wins above it (measured on TPU v5e, see BENCH notes).
+# The O(N^2) engine wins below this size.
 _NAIVE_MAX_N = 2048
 
 
@@ -19,11 +26,13 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
                   n_particles=None, skin=0.3, prefer=None):
     """Pick the best engine for the system.
 
-    prefer: None (auto) | "naive" | "neighbor".
-    Triclinic (non-orthorhombic) cells currently use the naive engine.
+    prefer: None (auto) | "naive" | "neighbor" | "cellgrid".
+    Auto: naive for small N or triclinic cells; on TPU the gather-free
+    CellGridEngine; on CPU the (N, K) NeighborListEngine.
     """
     from mdtpu.core.box import is_orthorhombic
-    from mdtpu.ops.neighbor_list import NeighborListEngine, estimate_capacities
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.ops.neighbor_list import NeighborListEngine, _grid_for_box
 
     if state is not None:
         unitcell = state.unitcell
@@ -33,15 +42,29 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
         return NaivePairEngine(potential=potential, cutoff=cutoff)
 
     ortho = unitcell is not None and is_orthorhombic(unitcell)
-    if prefer != "neighbor" and (n_particles is None or n_particles <= _NAIVE_MAX_N):
+    grid_ok = ortho and _grid_for_box(np.asarray(unitcell), float(cutoff),
+                                      float(skin)) is not None
+    if prefer is None and (n_particles is None or n_particles <= _NAIVE_MAX_N):
         return NaivePairEngine(potential=potential, cutoff=cutoff)
-    if not ortho:
+    if not grid_ok:
         return NaivePairEngine(potential=potential, cutoff=cutoff)
 
-    return NeighborListEngine.create(
-        potential=potential, cutoff=float(cutoff), skin=float(skin),
-        unitcell=np.asarray(unitcell), n_particles=int(n_particles),
-    )
+    if prefer == "neighbor":
+        return NeighborListEngine.create(
+            potential=potential, cutoff=float(cutoff), skin=float(skin),
+            unitcell=np.asarray(unitcell), n_particles=int(n_particles))
+    if prefer == "cellgrid":
+        return CellGridEngine.create(
+            potential, float(cutoff), float(skin),
+            np.asarray(unitcell), int(n_particles))
+
+    if jax.default_backend() == "cpu":
+        return NeighborListEngine.create(
+            potential=potential, cutoff=float(cutoff), skin=float(skin),
+            unitcell=np.asarray(unitcell), n_particles=int(n_particles))
+    return CellGridEngine.create(
+        potential, float(cutoff), float(skin),
+        np.asarray(unitcell), int(n_particles))
 
 
 __all__ = ["NaivePairEngine", "select_engine"]

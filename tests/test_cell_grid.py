@@ -1,0 +1,115 @@
+"""CellGridEngine (roll-stencil) vs the naive oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdtpu.ops.cell_grid import CellGridEngine
+from mdtpu.ops.naive import NaivePairEngine
+from mdtpu.potentials.lennard_jones import LennardJones
+from mdtpu.potentials.pseudo_hs import PseudoHS
+from tests.test_engines import random_fluid
+
+
+@pytest.mark.parametrize("d,n,rho,pot,cutoff", [
+    (3, 256, 0.6, LennardJones(r_cut=1.5), 1.5),
+    (2, 200, 0.5, LennardJones(r_cut=1.5), 1.5),
+    (3, 400, 0.8, PseudoHS(), 1.5),
+])
+def test_cell_grid_matches_naive(d, n, rho, pot, cutoff):
+    key = jax.random.PRNGKey(11)
+    pos, cell = random_fluid(key, n, rho, d)
+    diam = jnp.ones(n, jnp.float64)
+    cell_inv = jnp.linalg.inv(cell)
+
+    naive = NaivePairEngine(potential=pot, cutoff=cutoff)
+    e0, w0, f0, _ = naive.compute(pos, diam, cell, cell_inv, ())
+
+    eng = CellGridEngine.create(pot, cutoff, 0.3, np.asarray(cell), n)
+    nbrs = eng.allocate(pos, diam, cell, cell_inv)
+    assert not bool(nbrs.overflow)
+    e1, w1, f1, _ = eng.compute(pos, diam, cell, cell_inv, nbrs)
+    np.testing.assert_allclose(e1, e0, rtol=1e-9)
+    np.testing.assert_allclose(w1, w0, rtol=1e-9)
+    np.testing.assert_allclose(f1, f0, rtol=1e-8, atol=1e-10)
+
+
+def test_cell_grid_polydisperse():
+    key = jax.random.PRNGKey(12)
+    n = 300
+    pos, cell = random_fluid(key, n, 0.4, 3)
+    diam = jax.random.uniform(key, (n,), dtype=jnp.float64) * 0.4 + 0.8
+    cell_inv = jnp.linalg.inv(cell)
+    pot = LennardJones(r_cut=1.5)
+
+    naive = NaivePairEngine(potential=pot, cutoff=1.5)
+    e0, w0, f0, _ = naive.compute(pos, diam, cell, cell_inv, ())
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
+    nbrs = eng.allocate(pos, diam, cell, cell_inv)
+    e1, w1, f1, _ = eng.compute(pos, diam, cell, cell_inv, nbrs)
+    np.testing.assert_allclose(e1, e0, rtol=1e-9)
+    np.testing.assert_allclose(f1, f0, rtol=1e-8, atol=1e-10)
+
+
+def test_cell_grid_stale_positions_within_skin():
+    # compute() must stay exact when positions moved (< skin/2) after allocate.
+    key = jax.random.PRNGKey(13)
+    n = 256
+    pot = PseudoHS()
+    pos, cell = random_fluid(key, n, 0.5, 3)
+    diam = jnp.ones(n, jnp.float64)
+    cell_inv = jnp.linalg.inv(cell)
+    eng = CellGridEngine.create(pot, 1.5, 0.4, np.asarray(cell), n)
+    nbrs = eng.allocate(pos, diam, cell, cell_inv)
+
+    # bounded jitter: per-component < 0.1 so |disp| < 0.1*sqrt(3) < skin/2 = 0.2
+    moved = pos + 0.1 * (2.0 * jax.random.uniform(key, pos.shape,
+                                                  dtype=pos.dtype) - 1.0)
+    # wrap back into the box so the grid refresh sees in-box coordinates
+    from mdtpu.core.box import wrap_positions
+
+    moved, _ = wrap_positions(moved, jnp.zeros((n, 3), jnp.int32), cell, cell_inv)
+    assert not bool(eng.needs_rebuild(moved, nbrs, cell, cell_inv))
+
+    naive = NaivePairEngine(potential=pot, cutoff=1.5)
+    e0, w0, f0, _ = naive.compute(moved, diam, cell, cell_inv, ())
+    e1, w1, f1, _ = eng.compute(moved, diam, cell, cell_inv, nbrs)
+    np.testing.assert_allclose(e1, e0, rtol=1e-9)
+    np.testing.assert_allclose(f1, f0, rtol=1e-8, atol=1e-10)
+
+
+def test_cell_grid_overflow_flag():
+    key = jax.random.PRNGKey(14)
+    n = 512
+    pot = PseudoHS()
+    pos, cell = random_fluid(key, n, 0.9, 3)
+    diam = jnp.ones(n, jnp.float64)
+    cell_inv = jnp.linalg.inv(cell)
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n,
+                                cell_capacity=2)
+    nbrs = eng.allocate(pos, diam, cell, cell_inv)
+    assert bool(nbrs.overflow)
+    assert eng.with_grown_capacity().cell_capacity > 2
+
+
+def test_cell_grid_in_fused_nvt_loop():
+    # Full fused step with rebuild-cond under fori_loop (what the driver runs).
+    from mdtpu.core.types import NVT, Parameters
+    from mdtpu.integrate.step import make_step
+    from tests.test_dynamics import _with_forces, make_fluid_state
+
+    n = 512
+    state = make_fluid_state(n=n, rho=0.6, temp=1.0, dtype=jnp.float64, cutoff=1.5)
+    pot = PseudoHS()
+    params = Parameters(density=0.6, n_particles=n, dt=0.001, potential=pot)
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(state.unitcell), n)
+    state = state.replace(nbrs=eng.allocate(state.positions, state.diameters,
+                                            state.unitcell, state.unitcell_inv))
+    state = _with_forces(state, eng)
+    step = make_step(params, NVT(1.0, 0.1), eng)
+    advance = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
+    out = advance(state, 50)
+    assert int(out.step) == 50
+    assert abs(float(out.temperature) - 1.0) < 0.5
+    assert bool(jnp.all(jnp.isfinite(out.positions)))
