@@ -1,9 +1,10 @@
 """Headline benchmark: MD steps/sec on the real TPU chip.
 
 Config matches BASELINE.json's north-star metric: N = 65,536 Lennard-Jones
-fluid (rho = 0.8, kT = 1.0, r_cut = 2.5, dt = 0.002) with the cell-binned
-neighbor-list engine, f32 with Kahan-compensated integration, NVE hot loop
-(includes on-device neighbor rebuilds). Prints ONE JSON line.
+fluid (rho = 0.8, kT = 1.0, r_cut = 2.5, dt = 0.002) with the roll-stencil
+cell-grid engine, f32 with Kahan-compensated integration, fused NVT hot loop
+(includes on-device thermostat and skin-triggered neighbor rebuilds).
+Prints ONE JSON line.
 
 ``vs_baseline`` is the ratio against the single-node multithreaded Julia
 reference. The reference repo publishes no numbers and Julia is not in this
@@ -22,25 +23,26 @@ from mdtpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 import jax.numpy as jnp
+import numpy as np
 
 JULIA_BASELINE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring
 
 
 def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
-    from mdtpu.core.types import NVE, NVT, Parameters
-    from mdtpu.integrate.step import make_step, engine_forces
-    from mdtpu.ops import select_engine
-    from mdtpu.potentials.lennard_jones import LennardJones
+    from mdtpu.core.types import NVT, Parameters
+    from mdtpu.integrate.step import make_step
+    from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.sim.initialization import (
         build_state_from_arrays,
         initialize_velocities,
         lattice_positions,
     )
+    from mdtpu.potentials.lennard_jones import LennardJones
 
     d = 3
     L = (n / rho) ** (1.0 / d)
-    cell = jnp.eye(d, dtype=dtype) * L
-    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.03,
+    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
+    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
                             key=jax.random.PRNGKey(0))
     state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
                                     jax.random.PRNGKey(1), dtype=dtype,
@@ -50,7 +52,10 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
 
     pot = LennardJones(r_cut=2.5, force_shift=True)
     params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
-    engine = select_engine(pot, 2.5, state, prefer="neighbor")
+    # Tight cell capacity (mean occupancy ~19.4 + ~3 sigma); the overflow
+    # flag guards against fluctuations.
+    engine = CellGridEngine.create(pot, 2.5, 0.3, np.asarray(cell), n,
+                                   cell_capacity=33)
 
     nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
                            state.unitcell_inv)
@@ -58,21 +63,16 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
                                    state.unitcell, state.unitcell_inv, nbrs)
     state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
 
-    # Equilibrate shortly under NVT so the benchmark runs a realistic fluid.
-    nvt = make_step(params, NVT(temp, 0.2), engine)
-    advance_nvt = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nvt(x), s))
-    state = advance_nvt(state, 200)
-
-    nve = make_step(params, NVE(), engine)
-    advance = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nve(x), s),
-                      donate_argnums=(0,))
+    step = make_step(params, NVT(temp, 0.4), engine)
+    advance = jax.jit(
+        lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
     return state, advance
 
 
 def main():
     state, advance = build()
-    # Warmup/compile.
-    state = advance(state, 10)
+    # Warmup/compile + melt the lattice into a fluid.
+    state = advance(state, 200)
     jax.block_until_ready(state)
 
     n_steps = 600
@@ -80,10 +80,12 @@ def main():
     state = advance(state, n_steps)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
+    assert bool(jnp.isfinite(state.temperature)), "simulation diverged"
+    assert not bool(state.nbrs.overflow), "cell capacity overflow"
 
     steps_per_sec = n_steps / elapsed
     print(json.dumps({
-        "metric": "steps/sec, N=65536 LJ fluid (rho=0.8, rc=2.5, f32, neighbor-list engine)",
+        "metric": "steps/sec, N=65536 LJ fluid NVT (rho=0.8, rc=2.5, f32, cell-grid engine)",
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / JULIA_BASELINE_STEPS_PER_SEC, 2),

@@ -13,8 +13,20 @@ vectors, so ``cartesian = cell @ fractional`` — identical to the reference
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# All position <-> fractional transforms run at HIGHEST matmul precision: the
+# TPU MXU's DEFAULT f32 precision truncates inputs to bf16 (8 mantissa bits),
+# which for a box of size L injects ~1e-3 * L coordinate noise per wrap —
+# catastrophic for MD (overlaps, energy explosion). These are (N, d) @ (d, d)
+# matmuls, so full precision costs nothing.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, precision=_HI)
 
 
 def to_unitcell(box, dimension: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -57,10 +69,10 @@ def wrap_positions(positions, images, cell, cell_inv):
     Reference: /root/reference/src/boundary.jl:7-17, applied per-particle in a
     ``@threads`` loop; here a single fused batched op.
     """
-    frac = positions @ cell_inv.T
+    frac = _mm(positions, cell_inv.T)
     n_cross = jnp.floor(frac)
     frac_mod = frac - n_cross
-    wrapped = frac_mod @ cell.T
+    wrapped = _mm(frac_mod, cell.T)
     new_images = images + n_cross.astype(images.dtype)
     return wrapped, new_images
 
@@ -71,9 +83,9 @@ def minimum_image(dr, cell, cell_inv):
     dr: (..., d) cartesian displacements. Valid when the interaction cutoff is
     less than half the smallest box width (same restriction as cell lists).
     """
-    frac = dr @ cell_inv.T
+    frac = _mm(dr, cell_inv.T)
     frac = frac - jnp.round(frac)
-    return frac @ cell.T
+    return _mm(frac, cell.T)
 
 
 def unwrapped_positions(positions, images, cell):
@@ -81,4 +93,4 @@ def unwrapped_positions(positions, images, cell):
 
     Reference: /root/reference/src/io.jl:78-86 ``unwrapped``.
     """
-    return positions + images.astype(positions.dtype) @ cell.T
+    return positions + _mm(images.astype(positions.dtype), cell.T)

@@ -82,7 +82,8 @@ class CellGridEngine:
         n_cells = int(np.prod(self.grid))
         cap = self.cell_capacity
 
-        frac = positions @ cell_inv.T
+        frac = jnp.dot(positions, cell_inv.T,
+                       precision=jax.lax.Precision.HIGHEST)
         frac = frac - jnp.floor(frac)
         coords = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
         strides = np.concatenate(
@@ -91,7 +92,7 @@ class CellGridEngine:
 
         order = jnp.argsort(cid).astype(jnp.int32)
         cid_sorted = cid[order]
-        counts = jnp.zeros((n_cells,), jnp.int32).at[cid].add(1)
+        counts = jnp.zeros((n_cells,), jnp.int32).at[cid].add(jnp.int32(1))
         starts = jnp.cumsum(counts) - counts
         rank = jnp.arange(n, dtype=jnp.int32) - starts[cid_sorted]
         overflow = jnp.any(counts > cap)
@@ -146,62 +147,94 @@ class CellGridEngine:
 
         grid_axes = tuple(range(dim))
         cutoff2 = jnp.asarray(self.cutoff * self.cutoff, dtype)
+        lengths = jnp.stack([jnp.asarray(x, dtype) for x in lengths_np])
 
-        own_shape = (n_cells, cap, 1)
-        nbr_shape = (n_cells, 1, cap)
-        own_comps = [c.reshape(n_cells, cap)[:, :, None] for c in comp_grids]
-        own_occ = occ.reshape(n_cells, cap)[:, :, None]
-        own_diam = diam_grid.reshape(n_cells, cap)[:, :, None]
+        own_comps = jnp.stack([c.reshape(n_cells, cap) for c in comp_grids])
+        own_occ = occ.reshape(n_cells, cap)
+        own_diam = diam_grid.reshape(n_cells, cap)
 
         eye = jnp.eye(cap, dtype=bool)[None, :, :]
 
-        offsets = np.array(np.meshgrid(*([(-1, 0, 1)] * dim),
-                                       indexing="ij")).reshape(dim, -1).T
+        # Newton's-third-law half stencil: the self offset plus the 13 (4 in
+        # 2D) lexicographically-positive offsets. Each cell pair is visited
+        # once; the reaction forces on the neighbor cell's particles are
+        # accumulated in the *rolled* frame and rolled back at the end —
+        # Newton's third law without any scatter.
+        all_offsets = np.array(np.meshgrid(*([(-1, 0, 1)] * dim),
+                                           indexing="ij")).reshape(dim, -1).T
+        half_offsets = [tuple(int(x) for x in off) for off in all_offsets
+                        if tuple(off) > (0,) * dim]
 
-        energy = jnp.zeros((), dtype)
-        virial = jnp.zeros((), dtype)
-        f_comps = [jnp.zeros((n_cells, cap), dtype) for _ in range(dim)]
-
-        for off in offsets:
-            is_self = bool((off == 0).all())
-            shift = tuple(int(-o) for o in off)
-            if is_self:
-                nbr_comps = [c.reshape(nbr_shape) for c in comp_grids]
-                nbr_occ = occ.reshape(nbr_shape)
-                nbr_diam = diam_grid.reshape(nbr_shape)
-            else:
-                nbr_comps = [
-                    jnp.roll(c, shift, axis=grid_axes).reshape(nbr_shape)
-                    for c in comp_grids
-                ]
-                nbr_occ = jnp.roll(occ, shift, axis=grid_axes).reshape(nbr_shape)
-                nbr_diam = jnp.roll(diam_grid, shift, axis=grid_axes).reshape(nbr_shape)
-
-            d_comps = []
+        def pair_block(nbr_comps, nbr_occ, nbr_diam, self_mask):
+            """nbr_comps (dim, nc, cap) vs own -> (u, f_over_r, r2_safe,
+            d_comps) over (nc, cap, cap) pair tiles."""
             r2 = jnp.zeros((n_cells, cap, cap), dtype)
+            d_comps = []
             for k in range(dim):
-                dk = own_comps[k] - nbr_comps[k]
-                lk = lengths_np[k]
-                dk = dk - lk * jnp.round(dk / lk)
+                dk = own_comps[k][:, :, None] - nbr_comps[k][:, None, :]
+                dk = dk - lengths[k] * jnp.round(dk / lengths[k])
                 d_comps.append(dk)
                 r2 = r2 + dk * dk
-
-            mask = own_occ & nbr_occ & (r2 < cutoff2)
-            if is_self:
+            mask = own_occ[:, :, None] & nbr_occ[:, None, :] & (r2 < cutoff2)
+            if self_mask:
                 mask = mask & (~eye)
-            r = jnp.sqrt(jnp.where(mask, r2, jnp.ones_like(r2)))
-            u, f = self.potential.evaluate(r, own_diam, nbr_diam)
+            r2_safe = jnp.where(mask, r2, jnp.ones_like(r2))
+            u, f_over_r = self.potential.evaluate_r2(
+                r2_safe, own_diam[:, :, None], nbr_diam[:, None, :])
             u = jnp.where(mask, u, jnp.zeros_like(u))
-            f = jnp.where(mask, f, jnp.zeros_like(f))
+            f_over_r = jnp.where(mask, f_over_r, jnp.zeros_like(f_over_r))
+            return u, f_over_r, r2_safe, d_comps
 
-            energy = energy + 0.5 * jnp.sum(u)
-            virial = virial + 0.5 * jnp.sum(f * r)
-            f_over_r = f / r
-            for k in range(dim):
-                f_comps[k] = f_comps[k] + jnp.sum(f_over_r * d_comps[k], axis=2)
+        # Self cell: full CxC both directions, halved scalars.
+        u, f_over_r, r2s, d_comps = pair_block(own_comps, own_occ, own_diam, True)
+        energy = 0.5 * jnp.sum(u)
+        virial = 0.5 * jnp.sum(f_over_r * r2s)
+        f_own = jnp.stack(
+            [jnp.sum(f_over_r * d_comps[k], axis=2) for k in range(dim)]
+        )  # (dim, nc, cap)
+
+        # Stack the 13 pre-rolled neighbor views and scan over them: one
+        # pair-block in the compiled graph instead of 13 (compile time).
+        nbr_comps_stack = jnp.stack([
+            jnp.stack([
+                jnp.roll(comp_grids[k], tuple(-o for o in off),
+                         axis=grid_axes).reshape(n_cells, cap)
+                for k in range(dim)
+            ]) for off in half_offsets
+        ])  # (S, dim, nc, cap)
+        nbr_occ_stack = jnp.stack([
+            jnp.roll(occ, tuple(-o for o in off), axis=grid_axes).reshape(
+                n_cells, cap) for off in half_offsets
+        ])
+        nbr_diam_stack = jnp.stack([
+            jnp.roll(diam_grid, tuple(-o for o in off), axis=grid_axes).reshape(
+                n_cells, cap) for off in half_offsets
+        ])
+
+        def body(carry, inputs):
+            energy, virial, f_own = carry
+            nbr_c, nbr_o, nbr_d = inputs
+            u, f_over_r, r2s, d_comps = pair_block(nbr_c, nbr_o, nbr_d, False)
+            energy = energy + jnp.sum(u)
+            virial = virial + jnp.sum(f_over_r * r2s)
+            f_own = f_own + jnp.stack(
+                [jnp.sum(f_over_r * d_comps[k], axis=2) for k in range(dim)])
+            reaction = -jnp.stack(
+                [jnp.sum(f_over_r * d_comps[k], axis=1) for k in range(dim)])
+            return (energy, virial, f_own), reaction
+
+        (energy, virial, f_own), reactions = jax.lax.scan(
+            body, (energy, virial, f_own),
+            (nbr_comps_stack, nbr_occ_stack, nbr_diam_stack))
+
+        # Roll the reaction partials back to their home cells and accumulate.
+        for s, off in enumerate(half_offsets):
+            r = reactions[s].reshape((dim,) + self.grid + (cap,))
+            r = jnp.roll(r, off, axis=tuple(a + 1 for a in grid_axes))
+            f_own = f_own + r.reshape(dim, n_cells, cap)
 
         # Back to particle order: one (N,) gather per component.
         forces = jnp.stack(
-            [jnp.reshape(fc, (-1,))[nbrs.addr] for fc in f_comps], axis=-1
+            [f_own[k].reshape(-1)[nbrs.addr] for k in range(dim)], axis=-1
         )
         return energy, virial, forces, nbrs

@@ -59,14 +59,16 @@ class NaivePairEngine:
         cutoff = jnp.asarray(self.cutoff, dtype)
         mask = (~eye) & (r2 < cutoff * cutoff)
 
-        r = jnp.sqrt(jnp.where(mask, r2, jnp.ones_like(r2)))
-        u, f = self.potential.evaluate(r, diameters[:, None], diameters[None, :])
+        # Sqrt-free hot path via evaluate_r2 (see mdtpu.potentials.base).
+        r2_safe = jnp.where(mask, r2, jnp.ones_like(r2))
+        u, f_over_r = self.potential.evaluate_r2(
+            r2_safe, diameters[:, None], diameters[None, :]
+        )
         u = jnp.where(mask, u, jnp.zeros_like(u))
-        f = jnp.where(mask, f, jnp.zeros_like(f))
+        f_over_r = jnp.where(mask, f_over_r, jnp.zeros_like(f_over_r))
 
         energy = 0.5 * jnp.sum(u)
-        virial = 0.5 * jnp.sum(f * r)
-        f_over_r = f / r
+        virial = 0.5 * jnp.sum(f_over_r * r2_safe)
         forces = jnp.stack(
             [jnp.sum(f_over_r * dc, axis=1) for dc in d_comps], axis=-1
         )

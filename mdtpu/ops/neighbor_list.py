@@ -123,7 +123,8 @@ class NeighborListEngine:
 
         # Cell coordinates from fractional positions (positions are wrapped,
         # but clip defensively against roundoff at the box edge).
-        frac = positions @ cell_inv.T
+        frac = jnp.dot(positions, cell_inv.T,
+                       precision=jax.lax.Precision.HIGHEST)
         frac = frac - jnp.floor(frac)
         coords = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)  # (N, d)
 
@@ -135,7 +136,7 @@ class NeighborListEngine:
         # Bucketed count-sort into (n_cells, cap).
         order = jnp.argsort(cid).astype(jnp.int32)  # (N,) particle ids sorted by cell
         cid_sorted = cid[order]
-        counts = jnp.zeros((n_cells,), jnp.int32).at[cid].add(1)
+        counts = jnp.zeros((n_cells,), jnp.int32).at[cid].add(jnp.int32(1))
         starts = jnp.cumsum(counts) - counts        # exclusive prefix
         rank = jnp.arange(n, dtype=jnp.int32) - starts[cid_sorted]
         slot_ok = rank < cap
@@ -168,13 +169,13 @@ class NeighborListEngine:
         self_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
         valid = (cand < n) & (cand != self_ids) & (r2 < r_list * r_list)
 
-        # Compact valid candidates to the front, keep K.
-        sort_key = jnp.where(valid, 0, 1).astype(jnp.int32)
-        perm = jnp.argsort(sort_key, axis=1, stable=True)
-        cand_sorted = jnp.take_along_axis(cand, perm, axis=1)
-        valid_sorted = jnp.take_along_axis(valid, perm, axis=1)
-        idx = jnp.where(valid_sorted[:, :k_max], cand_sorted[:, :k_max], n)
-        idx = idx.astype(jnp.int32)
+        # Compact valid candidates to the front, keep K — via top_k (the
+        # hardware-optimized path; a full (N, S*cap) argsort is ~10x slower
+        # on TPU).
+        score = jnp.where(valid, -r2, jnp.full_like(r2, -jnp.inf))
+        vals, ti = jax.lax.top_k(score, k_max)
+        idx = jnp.take_along_axis(cand, ti, axis=1)
+        idx = jnp.where(jnp.isfinite(vals), idx, n).astype(jnp.int32)
         overflow_k = jnp.any(jnp.sum(valid, axis=1) > k_max)
 
         return NeighborState(
@@ -222,16 +223,16 @@ class NeighborListEngine:
 
         cutoff = jnp.asarray(self.cutoff, positions.dtype)
         mask = valid & (r2 < cutoff * cutoff)
-        r = jnp.sqrt(jnp.where(mask, r2, jnp.ones_like(r2)))
 
+        # Sqrt-free hot path via evaluate_r2 (see mdtpu.potentials.base).
+        r2_safe = jnp.where(mask, r2, jnp.ones_like(r2))
         dj = diameters[idx_safe]
-        u, f = self.potential.evaluate(r, diameters[:, None], dj)
+        u, f_over_r = self.potential.evaluate_r2(r2_safe, diameters[:, None], dj)
         u = jnp.where(mask, u, jnp.zeros_like(u))
-        f = jnp.where(mask, f, jnp.zeros_like(f))
+        f_over_r = jnp.where(mask, f_over_r, jnp.zeros_like(f_over_r))
 
         energy = 0.5 * jnp.sum(u)
-        virial = 0.5 * jnp.sum(f * r)
-        f_over_r = f / r
+        virial = 0.5 * jnp.sum(f_over_r * r2_safe)
         forces = jnp.stack(
             [jnp.sum(f_over_r * dk, axis=1) for dk in d_comps], axis=-1
         )

@@ -84,12 +84,19 @@ def _local_pair_sweep(potential, cutoff, x_local, diam_local, x_all, diam_all,
 
     Each pair is seen from both sides across shards, so energy/virial are
     halved and force rows need no scatter — identical inversion to the
-    single-device naive engine.
+    single-device naive engine. Component-wise (local, N) tiles and the
+    sqrt-free evaluate_r2 path (see mdtpu.ops.naive layout note).
     """
     n_all = x_all.shape[0]
-    dr = x_local[:, None, :] - x_all[None, :, :]
-    dr = minimum_image(dr, cell, cell_inv)
-    r2 = jnp.sum(dr * dr, axis=-1)
+    dim = x_local.shape[1]
+    xl_t, xa_t = x_local.T, x_all.T
+
+    d_comps = [xl_t[k][:, None] - xa_t[k][None, :] for k in range(dim)]
+    frac = [sum(cell_inv[k, j] * d_comps[j] for j in range(dim))
+            for k in range(dim)]
+    frac = [f - jnp.round(f) for f in frac]
+    d_comps = [sum(cell[i, k] * frac[k] for k in range(dim)) for i in range(dim)]
+    r2 = sum(dc * dc for dc in d_comps)
 
     # Mask out self-pairs: local row i is global row shard_index*shard_size + i.
     local_rows = jnp.arange(x_local.shape[0]) + shard_index * shard_size
@@ -97,14 +104,17 @@ def _local_pair_sweep(potential, cutoff, x_local, diam_local, x_all, diam_all,
     cutoff = jnp.asarray(cutoff, x_local.dtype)
     mask = (~self_mask) & (r2 < cutoff * cutoff)
 
-    r = jnp.sqrt(jnp.where(mask, r2, jnp.ones_like(r2)))
-    u, f = potential.evaluate(r, diam_local[:, None], diam_all[None, :])
+    r2_safe = jnp.where(mask, r2, jnp.ones_like(r2))
+    u, f_over_r = potential.evaluate_r2(r2_safe, diam_local[:, None],
+                                        diam_all[None, :])
     u = jnp.where(mask, u, jnp.zeros_like(u))
-    f = jnp.where(mask, f, jnp.zeros_like(f))
+    f_over_r = jnp.where(mask, f_over_r, jnp.zeros_like(f_over_r))
 
     energy_partial = 0.5 * jnp.sum(u)
-    virial_partial = 0.5 * jnp.sum(f * r)
-    forces_local = jnp.einsum("ij,ijd->id", f / r, dr)
+    virial_partial = 0.5 * jnp.sum(f_over_r * r2_safe)
+    forces_local = jnp.stack(
+        [jnp.sum(f_over_r * dc, axis=1) for dc in d_comps], axis=-1
+    )
     return energy_partial, virial_partial, forces_local
 
 

@@ -22,6 +22,7 @@ the sharded path with no further registration — the analog of adding a Julia
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -36,6 +37,22 @@ class Potential:
         raise NotImplementedError(
             f"evaluate not implemented for potential type: {type(self).__name__}"
         )
+
+    def evaluate_r2(self, r2, sigma_i, sigma_j):
+        """Squared-distance form: returns ``(u, f_over_r)`` where the pair
+        force vector is ``f_over_r * dr`` and the pair virial is
+        ``f_over_r * r2``.
+
+        This is the engines' hot-path entry point: with it the entire pair
+        kernel needs no sqrt and no divide-by-r (big VPU win on TPU — sqrt
+        and divide are multi-cycle). The default falls back to ``evaluate``
+        via one sqrt, so user potentials only need ``evaluate``; built-ins
+        override with fully sqrt-free forms.
+        """
+        r2 = jnp.asarray(r2)
+        r = jnp.sqrt(r2)
+        u, f = self.evaluate(r, sigma_i, sigma_j)
+        return u, f / jnp.where(r > 0, r, jnp.ones_like(r))
 
     # Long-range (tail) corrections; generic no-op interface mirroring
     # /root/reference/src/potentials.jl:281-293. Overrides return the *total*

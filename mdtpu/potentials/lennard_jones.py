@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -79,6 +80,36 @@ class LennardJones(Potential):
 
         zero = jnp.zeros_like(v)
         return jnp.where(inside, v, zero), jnp.where(inside, f, zero)
+
+    def evaluate_r2(self, r2, sigma_i=1.0, sigma_j=1.0):
+        """Sqrt-free hot path: V and F/r are pure polynomials in sigma^2/r^2
+        for the plain and energy-shifted forms. Force-shift needs F_c (a
+        constant) times 1/r, obtained with one rsqrt."""
+        dtype = jnp.asarray(r2).dtype
+        eps = jnp.asarray(self.epsilon, dtype)
+        rc = jnp.asarray(self.r_cut, dtype)
+        sigma = self._mixed_sigma(sigma_i, sigma_j, dtype)
+
+        inside = r2 < rc * rc
+        r2_safe = jnp.where(inside, r2, jnp.ones_like(r2))
+        sr2 = (sigma * sigma) / r2_safe
+        sr6 = sr2 * sr2 * sr2
+        sr12 = sr6 * sr6
+        v = 4.0 * eps * (sr12 - sr6)
+        f_over_r = 24.0 * eps * (2.0 * sr12 - sr6) / r2_safe
+
+        if self.shift or self.force_shift:
+            src6, src12 = _sr_powers(sigma, rc)
+            v_cut = 4.0 * eps * (src12 - src6)
+            v = v - v_cut
+            if self.force_shift:
+                f_cut = 24.0 * eps * (2.0 * src12 - src6) / rc
+                inv_r = jax.lax.rsqrt(r2_safe)
+                v = v + (1.0 / inv_r - rc) * f_cut
+                f_over_r = f_over_r - f_cut * inv_r
+
+        zero = jnp.zeros_like(v)
+        return jnp.where(inside, v, zero), jnp.where(inside, f_over_r, zero)
 
     # Total tail corrections (/root/reference/src/potentials.jl:111-152).
     def energy_lrc(self, n_particles, volume):

@@ -21,6 +21,7 @@ Deviations from the reference (deliberate fixes, documented in SURVEY.md
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -53,3 +54,30 @@ class PseudoHS(Potential):
         f = (a / sigma) * (lam * sr_lp1 - (lam - 1) * sr_l)
         zero = jnp.zeros_like(u)
         return jnp.where(inside, u, zero), jnp.where(inside, f, zero)
+
+    def evaluate_r2(self, r2, sigma_i=1.0, sigma_j=1.0):
+        """Hot path: even powers come from sr2 = (sigma/r)^2 by integer
+        squaring; the single odd power needs one rsqrt (no divides).
+
+        u        = a (sr^lam - sr^(lam-1)) + 1
+        f_over_r = (a / sigma^2) (lam sr^(lam+2) - (lam-1) sr^(lam+1))
+        """
+        lam = self.lam
+        dtype = jnp.asarray(r2).dtype
+        sigma = 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+        cutoff = B_PARAM * sigma if self.sigma_scaled_cutoff else jnp.asarray(B_PARAM, dtype)
+        inside = r2 < cutoff * cutoff
+        r2_safe = jnp.where(inside, r2, jnp.ones_like(r2))
+        sr2 = (sigma * sigma) / r2_safe
+        sr = sigma * jax.lax.rsqrt(r2_safe)
+        half = (lam - 2) // 2  # lam even: sr^(lam-2) = (sr2)^half
+        sr_lm2 = ipow(sr2, half)
+        sr_lm1 = sr_lm2 * sr
+        sr_l = sr_lm2 * sr2
+        sr_lp1 = sr_l * sr
+        sr_lp2 = sr_l * sr2
+        a = jnp.asarray(A_PARAM, dtype)
+        u = a * (sr_l - sr_lm1) + 1.0
+        f_over_r = (a / (sigma * sigma)) * (lam * sr_lp2 - (lam - 1) * sr_lp1)
+        zero = jnp.zeros_like(u)
+        return jnp.where(inside, u, zero), jnp.where(inside, f_over_r, zero)

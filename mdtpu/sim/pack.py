@@ -46,7 +46,7 @@ def pack_positions(key, unitcell, n_particles, dimension, *, tol=1.0,
     cell = jnp.asarray(unitcell, dtype)
     cell_inv = jnp.linalg.inv(cell)
     frac = jax.random.uniform(key, (n_particles, dimension), dtype=dtype)
-    positions = frac @ cell.T
+    positions = jnp.dot(frac, cell.T, precision=jax.lax.Precision.HIGHEST)
 
     potential = OverlapPotential(tol=tol)
     if engine is None:
