@@ -92,11 +92,12 @@ class LennardJones(Potential):
 
         inside = r2 < rc * rc
         r2_safe = jnp.where(inside, r2, jnp.ones_like(r2))
-        sr2 = (sigma * sigma) / r2_safe
+        inv_r2 = 1.0 / r2_safe           # the single expensive op per pair
+        sr2 = (sigma * sigma) * inv_r2
         sr6 = sr2 * sr2 * sr2
         sr12 = sr6 * sr6
         v = 4.0 * eps * (sr12 - sr6)
-        f_over_r = 24.0 * eps * (2.0 * sr12 - sr6) / r2_safe
+        f_over_r = 24.0 * eps * (2.0 * sr12 - sr6) * inv_r2
 
         if self.shift or self.force_shift:
             src6, src12 = _sr_powers(sigma, rc)

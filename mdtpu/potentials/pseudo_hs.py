@@ -68,8 +68,9 @@ class PseudoHS(Potential):
         cutoff = B_PARAM * sigma if self.sigma_scaled_cutoff else jnp.asarray(B_PARAM, dtype)
         inside = r2 < cutoff * cutoff
         r2_safe = jnp.where(inside, r2, jnp.ones_like(r2))
-        sr2 = (sigma * sigma) / r2_safe
-        sr = sigma * jax.lax.rsqrt(r2_safe)
+        inv_r = jax.lax.rsqrt(r2_safe)
+        sr = sigma * inv_r
+        sr2 = sr * sr
         half = (lam - 2) // 2  # lam even: sr^(lam-2) = (sr2)^half
         sr_lm2 = ipow(sr2, half)
         sr_lm1 = sr_lm2 * sr

@@ -174,12 +174,31 @@ def run_simulation(
                                dev["unitcell"], dev["positions"], dev["images"],
                                dev["diameters"], mode="w")
 
+    def check_overflow(state, engine, advance, step_fn):
+        """Engine capacity overflow (detected at event boundaries): rebuild
+        the engine with grown capacities and recompile — the fixed-shape
+        analog of CellListMap's dynamic cell lists."""
+        nbrs = state.nbrs
+        if nbrs is None or not hasattr(nbrs, "overflow"):
+            return state, engine, advance, step_fn
+        if not bool(nbrs.overflow):
+            return state, engine, advance, step_fn
+        engine = engine.with_grown_capacity()
+        nbrs = engine.allocate(state.positions, state.diameters,
+                               state.unitcell, state.unitcell_inv)
+        state = state.replace(nbrs=nbrs)
+        step_fn = make_step(params, ensemble, engine, compensated=compensated)
+        advance = _make_advance(step_fn)
+        return state, engine, advance, step_fn
+
     current = start_step
     for ev in event_steps:
         # Execute through loop iteration `ev` (i.e. ev - current + 1 steps).
         n_adv = ev - current + 1
         state = advance(state, n_adv)
         current = ev + 1
+        state, engine, advance, step_fn = check_overflow(state, engine,
+                                                         advance, step_fn)
         # Pull what the outputs need; dispatch happens before the previous
         # event's write (flush) so I/O overlaps compute.
         dev = {
