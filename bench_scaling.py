@@ -1,0 +1,71 @@
+"""Scaling sweep: steps/sec vs N (BASELINE.json metric: N = 1k - 262k,
+pseudo-HS fluid). Prints one JSON line per size. Run on the TPU chip."""
+
+import json
+import time
+
+import jax
+
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
+    from mdtpu.core.types import NVT, Parameters
+    from mdtpu.integrate.step import make_step
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.ops.naive import NaivePairEngine
+    from mdtpu.potentials.pseudo_hs import PseudoHS
+    from mdtpu.sim.initialization import (
+        build_state_from_arrays, initialize_velocities, lattice_positions)
+
+    dtype = jnp.float32
+    d = 3
+    L = (n / rho) ** (1.0 / d)
+    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
+    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
+                            key=jax.random.PRNGKey(0))
+    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
+                                    jax.random.PRNGKey(1), dtype=dtype,
+                                    cutoff=1.5)
+    state = state.replace(velocities=initialize_velocities(
+        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    pot = PseudoHS()
+    params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
+    try:
+        engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
+        kind = f"cellgrid grid={engine.grid} C={engine.cell_capacity}"
+    except ValueError:
+        engine = NaivePairEngine(potential=pot, cutoff=1.5)
+        kind = "naive"
+
+    nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
+                           state.unitcell_inv)
+    e, w, f, nbrs = engine.compute(state.positions, state.diameters,
+                                   state.unitcell, state.unitcell_inv, nbrs)
+    state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+
+    step = make_step(params, NVT(temp, 100 * dt), engine)
+    advance = jax.jit(
+        lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
+    state = advance(state, 100)  # warm + melt
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state = advance(state, steps)
+    jax.block_until_ready(state)
+    rate = steps / (time.perf_counter() - t0)
+    ok = bool(jnp.isfinite(state.temperature))
+    print(json.dumps({
+        "N": n, "steps_per_sec": round(rate, 1),
+        "particle_steps_per_sec": round(rate * n, 0),
+        "engine": kind, "finite": ok,
+        "T": round(float(state.temperature), 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    for n in (1024, 4096, 16384, 65536, 262144):
+        run_size(n)

@@ -1,0 +1,106 @@
+"""Fidelity gates (BASELINE.json): NVE energy drift and thermo sanity.
+
+Runs the reference README configuration (N=1024 pseudo-hard-sphere fluid,
+rho=0.76, kT=1.4737 — /root/reference/README.md:15-46): NVT equilibration,
+then a long NVE production run sampling total energy; reports the linear-fit
+drift per 1e6 steps (gate: < 1e-4 per particle) plus mean temperature /
+pressure. Prints one JSON line.
+"""
+
+import json
+import time
+
+import jax
+
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
+         sample_every=2_000, dtype=None):
+    from mdtpu.core.types import NVE, NVT, Parameters
+    from mdtpu.integrate.step import make_step, engine_forces
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.potentials.pseudo_hs import PseudoHS
+    from mdtpu.sim.initialization import (
+        build_state_from_arrays, initialize_velocities, lattice_positions)
+
+    if dtype is None:
+        dtype = jnp.float32
+    d = 3
+    L = (n / rho) ** (1.0 / d)
+    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
+    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
+                            key=jax.random.PRNGKey(0))
+    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
+                                    jax.random.PRNGKey(1), dtype=dtype,
+                                    cutoff=1.5)
+    state = state.replace(velocities=initialize_velocities(
+        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+
+    pot = PseudoHS()
+    params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
+    engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
+
+    nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
+                           state.unitcell_inv)
+    e, w, f, nbrs = engine.compute(state.positions, state.diameters,
+                                   state.unitcell, state.unitcell_inv, nbrs)
+    state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+
+    nvt = make_step(params, NVT(temp, 100 * dt), engine)
+    adv_nvt = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nvt(x), s))
+    state = adv_nvt(state, 20_000)
+    jax.block_until_ready(state)
+
+    nve = make_step(params, NVE(), engine)
+
+    @jax.jit
+    def segment(s):
+        s = jax.lax.fori_loop(0, sample_every, lambda i, x: nve(x), s)
+        kin = 0.5 * jnp.sum(s.velocities.astype(jnp.float64) ** 2)
+        return s, s.energy.astype(jnp.float64) + kin, s.temperature, s.virial
+
+    n_seg = nve_steps // sample_every
+    energies = np.zeros(n_seg)
+    temps = np.zeros(n_seg)
+    virials = np.zeros(n_seg)
+    t0 = time.perf_counter()
+    for i in range(n_seg):
+        state, e_tot, t_i, w_i = segment(state)
+        energies[i] = float(e_tot)
+        temps[i] = float(t_i)
+        virials[i] = float(w_i)
+    elapsed = time.perf_counter() - t0
+
+    steps = (np.arange(n_seg) + 1) * sample_every
+    slope = np.polyfit(steps, energies / n, 1)[0]       # dE/N per step
+    drift_per_1e6 = abs(slope) * 1e6
+
+    volume = float(L) ** 3
+    pressure = virials.mean() / (3 * volume) + rho * temps.mean()
+    print(json.dumps({
+        "gate": f"NVE drift per 1e6 steps (E/N, {jnp.dtype(dtype).name}, dt={dt}, pseudo-HS N={n})",
+        "drift_per_1e6_steps": float(drift_per_1e6),
+        "target": 1e-4,
+        "pass": bool(drift_per_1e6 < 1e-4),
+        "nve_steps": int(nve_steps),
+        "steps_per_sec": round(nve_steps / elapsed, 1),
+        "mean_T": round(float(temps.mean()), 4),
+        "mean_P": round(float(pressure), 4),
+        "energy_span": [float(energies[0] / n), float(energies[-1] / n)],
+    }))
+
+
+if __name__ == "__main__":
+    import sys
+    dt = float(sys.argv[1]) if len(sys.argv) > 1 else 0.001
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    kind = sys.argv[3] if len(sys.argv) > 3 else "f32"
+    if kind == "f64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = {"f32": jnp.float32, "f64": jnp.float64}[kind]
+    main(dt=dt, nve_steps=steps, dtype=dtype)

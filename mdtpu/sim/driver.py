@@ -82,6 +82,7 @@ def run_simulation(
     engine=None,
     compensated: bool = True,
     checkpoint_every: Optional[int] = None,
+    perf_log: bool = False,
 ) -> SimulationState:
     """Run ``total_steps`` of dynamics, writing thermo + trajectory every
     ``frequency`` steps (labels and ordering match the reference: outputs for
@@ -191,12 +192,21 @@ def run_simulation(
         advance = _make_advance(step_fn)
         return state, engine, advance, step_fn
 
+    meter = None
+    if perf_log:
+        from mdtpu.utils.profiling import StepRateMeter
+
+        meter = StepRateMeter(os.path.join(pathname, "perf.txt"))
+
     current = start_step
     for ev in event_steps:
         # Execute through loop iteration `ev` (i.e. ev - current + 1 steps).
         n_adv = ev - current + 1
         state = advance(state, n_adv)
         current = ev + 1
+        if meter is not None:
+            jax.block_until_ready(state.energy)
+            meter.tick(ev, n_adv)
         state, engine, advance, step_fn = check_overflow(state, engine,
                                                          advance, step_fn)
         # Pull what the outputs need; dispatch happens before the previous

@@ -59,7 +59,9 @@ def build_state_from_arrays(positions, diameters, unitcell, key, *,
     positions = jnp.asarray(positions, dtype)
     n, dim = positions.shape
     cell = jnp.asarray(unitcell, dtype)
-    cell_inv = jnp.linalg.inv(cell)
+    # Host-side inverse: the cell is static, and TPU lacks f64 LU support.
+    cell_inv = jnp.asarray(
+        np.linalg.inv(np.asarray(unitcell, dtype=np.float64)), dtype)
     if velocities is None:
         velocities = jnp.zeros_like(positions)
     else:
