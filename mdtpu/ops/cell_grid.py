@@ -66,9 +66,12 @@ class CellGridEngine:
                 "box too small for a cell grid at this cutoff; use NaivePairEngine"
             )
         if cell_capacity is None:
+            # Tight default (mean + 3.5 sigma): smaller C is quadratically
+            # cheaper in the (C, 3C) pair tiles; rare overflows are handled
+            # by the driver's grown-capacity rebuild.
             volume = abs(float(np.linalg.det(np.asarray(unitcell, np.float64))))
             mean_occ = n_particles / volume * (volume / int(np.prod(grid)))
-            cell_capacity = int(math.ceil(mean_occ + 5.0 * math.sqrt(mean_occ) + 4))
+            cell_capacity = int(math.ceil(mean_occ + 3.5 * math.sqrt(mean_occ) + 2))
         return cls(potential=potential, cutoff=float(cutoff), skin=float(skin),
                    grid=grid, cell_capacity=int(cell_capacity))
 
