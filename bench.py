@@ -52,10 +52,10 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
 
     pot = LennardJones(r_cut=2.5, force_shift=True)
     params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
-    # Tight cell capacity (mean occupancy ~19.4 + ~3 sigma); the overflow
+    # Tight cell capacity (mean occupancy ~19.4 + ~2.2 sigma); the overflow
     # flag guards against fluctuations.
     engine = CellGridEngine.create(pot, 2.5, 0.3, np.asarray(cell), n,
-                                   cell_capacity=33)
+                                   cell_capacity=29)
 
     nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
                            state.unitcell_inv)
