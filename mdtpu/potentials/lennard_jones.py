@@ -9,9 +9,12 @@ actually select the shifted kernels. Shift constants are computed at the
 *mixed* sigma so polydisperse systems stay continuous at the cutoff.
 
 Long-range corrections: /root/reference/src/potentials.jl:111-152 —
-  energy:   N * 8*pi*rho/3 * [ (sigma/rc)^9 / 3 - (sigma/rc)^3 ]
-  pressure: 16*pi*rho^2/3 * [ 2*(sigma/rc)^9 / 3 - (sigma/rc)^3 ]
-applied only when ``tail_correction`` is set.
+  energy:   N * 8*pi*rho*eps*sigma^3/3 * [ (sigma/rc)^9 / 3 - (sigma/rc)^3 ]
+  pressure: 16*pi*rho^2*eps*sigma^3/3 * [ 2*(sigma/rc)^9 / 3 - (sigma/rc)^3 ]
+applied only when ``tail_correction`` is set. The reference's ``ener_lrc`` /
+``pressure_lrc`` omit the eps*sigma^3 prefactor (correct only at
+eps = sigma = 1); the physically complete form is used here, matching this
+repo's XPLOR tail formulas. Identical to the reference at eps = sigma = 1.
 """
 
 from __future__ import annotations
@@ -119,7 +122,8 @@ class LennardJones(Potential):
         rho = n_particles / volume
         src3 = (self.sigma / self.r_cut) ** 3
         src9 = src3 ** 3
-        per_particle = (8.0 * math.pi * rho / 3.0) * (src9 / 3.0 - src3)
+        pref = self.epsilon * self.sigma ** 3
+        per_particle = (8.0 * math.pi * rho * pref / 3.0) * (src9 / 3.0 - src3)
         return per_particle * n_particles
 
     def pressure_lrc(self, n_particles, volume):
@@ -128,4 +132,5 @@ class LennardJones(Potential):
         rho = n_particles / volume
         src3 = (self.sigma / self.r_cut) ** 3
         src9 = src3 ** 3
-        return (16.0 * math.pi * rho ** 2 / 3.0) * (2.0 * src9 / 3.0 - src3)
+        pref = self.epsilon * self.sigma ** 3
+        return (16.0 * math.pi * rho ** 2 * pref / 3.0) * (2.0 * src9 / 3.0 - src3)

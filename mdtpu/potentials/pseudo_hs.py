@@ -71,8 +71,10 @@ class PseudoHS(Potential):
         inv_r = jax.lax.rsqrt(r2_safe)
         sr = sigma * inv_r
         sr2 = sr * sr
-        half = (lam - 2) // 2  # lam even: sr^(lam-2) = (sr2)^half
-        sr_lm2 = ipow(sr2, half)
+        if lam % 2 == 0:       # sr^(lam-2) = (sr2)^((lam-2)/2)
+            sr_lm2 = ipow(sr2, (lam - 2) // 2)
+        else:                  # odd lam: one extra sr factor
+            sr_lm2 = ipow(sr2, (lam - 3) // 2) * sr
         sr_lm1 = sr_lm2 * sr
         sr_l = sr_lm2 * sr2
         sr_lp1 = sr_l * sr

@@ -82,6 +82,50 @@ class LennardJonesXPLOR(Potential):
         zero = jnp.zeros_like(energy)
         return jnp.where(inside, energy, zero), jnp.where(inside, force, zero)
 
+    def evaluate_r2(self, r2, sigma_i=1.0, sigma_j=1.0):
+        """Sqrt-free hot path. Both the LJ core and the XPLOR switch are
+        polynomials in r^2:
+
+          S_mid      = a^2 b / denom,  a = rc^2 - r^2,  b = rc^2 + 2r^2 - 3ron^2
+          (dS/dr)/r  = 4 a (a - b) / denom
+          F/r        = S * (24 eps (2 sr12 - sr6) / r^2) - V * (dS/dr)/r
+
+        so unlike every other engine-visible potential there is not even an
+        rsqrt — one reciprocal per pair."""
+        dtype = jnp.asarray(r2).dtype
+        eps = jnp.asarray(self.epsilon, dtype)
+        rc = jnp.asarray(self.r_cut, dtype)
+        ron = jnp.asarray(self.r_on, dtype)
+        if self.mixing == "none":
+            sigma = jnp.asarray(self.sigma, dtype)
+        else:
+            sigma = 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+
+        rc2 = rc * rc
+        ron2 = ron * ron
+        inside = r2 < rc2
+        r2_safe = jnp.where(inside, r2, jnp.ones_like(r2))
+        inv_r2 = 1.0 / r2_safe
+        sr2 = (sigma * sigma) * inv_r2
+        sr6 = sr2 * sr2 * sr2
+        sr12 = sr6 * sr6
+        v = 4.0 * eps * (sr12 - sr6)
+        f_over_r = 24.0 * eps * (2.0 * sr12 - sr6) * inv_r2
+
+        denom = (rc2 - ron2) ** 3
+        a = rc2 - r2_safe
+        b = rc2 + 2.0 * r2_safe - 3.0 * ron2
+        below = r2_safe < ron2
+        s = jnp.where(below, jnp.ones_like(a), a * a * b / denom)
+        ds_over_r = jnp.where(below, jnp.zeros_like(a),
+                              4.0 * a * (a - b) / denom)
+
+        energy = v * s
+        force_over_r = s * f_over_r - v * ds_over_r
+        zero = jnp.zeros_like(energy)
+        return (jnp.where(inside, energy, zero),
+                jnp.where(inside, force_over_r, zero))
+
     # /root/reference/src/potentials.jl:256-271 (same closed forms as sharp-
     # cutoff LJ, using r_cut).
     def energy_lrc(self, n_particles, volume):

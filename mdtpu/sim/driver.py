@@ -142,7 +142,11 @@ def run_simulation(
     thermo_steps = set(
         s for s in range(start_step, start_step + total_steps) if s % frequency == 0
     )
-    event_steps = sorted(thermo_steps | snap_set)
+    # Events strictly below start_step (possible with log_times on a resumed
+    # state: snap_set always contains 0 plus log-times below start_step)
+    # would rewind `current` and re-execute steps with wrong labels.
+    event_steps = sorted(s for s in (thermo_steps | snap_set)
+                         if s >= start_step)
     end_step = start_step + total_steps
 
     pending = None  # (step_label, host-fetch futures) from the previous event

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from mdtpu.core.box import wrap_positions
@@ -44,7 +45,11 @@ def pack_positions(key, unitcell, n_particles, dimension, *, tol=1.0,
     from mdtpu.core.types import Parameters
 
     cell = jnp.asarray(unitcell, dtype)
-    cell_inv = jnp.linalg.inv(cell)
+    # Invert the tiny d x d cell on the host: TPU f64 linalg.inv is
+    # unsupported (LuDecomposition is f32-only), same policy as
+    # build_state_from_arrays.
+    cell_inv = jnp.asarray(
+        np.linalg.inv(np.asarray(unitcell, np.float64)), dtype)
     frac = jax.random.uniform(key, (n_particles, dimension), dtype=dtype)
     positions = jnp.dot(frac, cell.T, precision=jax.lax.Precision.HIGHEST)
 

@@ -135,3 +135,25 @@ def test_exact_checkpoint_resume(small_system):
                                   np.asarray(end_b.positions))
     np.testing.assert_array_equal(np.asarray(end_a.velocities),
                                   np.asarray(end_b.velocities))
+
+
+def test_log_times_resume_does_not_rewind(small_system):
+    """With log_times=True on a resumed state (start_step > 0), events below
+    start_step (snap 0 and early log-times) must be dropped — previously they
+    rewound the segment counter, executing extra steps under wrong labels."""
+    state, params, path = small_system
+    mid = run_simulation(state, params, NVE(), total_steps=40, frequency=20,
+                         pathname=path)
+    assert int(mid.step) == 40
+    end = run_simulation(mid, params, NVE(), total_steps=40, frequency=20,
+                         pathname=path + "/resumed", log_times=True)
+    assert int(end.step) == 80
+    # Reference run without log_times from the same state: trajectories match.
+    end_ref = run_simulation(mid, params, NVE(), total_steps=40, frequency=20,
+                             pathname=path + "/plain")
+    np.testing.assert_array_equal(np.asarray(end.positions),
+                                  np.asarray(end_ref.positions))
+    # thermo rows carry resumed-range labels only
+    lines = open(os.path.join(path, "resumed", "thermo.txt")).read().splitlines()
+    labels = [int(l.split()[0]) for l in lines[1:]]
+    assert labels == [40, 60]

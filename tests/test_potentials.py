@@ -125,3 +125,43 @@ def test_batched_evaluation():
     u, f = pot.evaluate(r, 1.0, 1.0)
     assert u.shape == r.shape and f.shape == r.shape
     assert np.all(np.asarray(u[r >= 2.5]) == 0.0)
+
+
+@pytest.mark.parametrize("pot,rs", [
+    (PseudoHS(), [0.9, 0.95, 1.0, 1.01]),
+    (PseudoHS(lam=49), [0.9, 0.95, 1.0, 1.01]),          # odd lam fast path
+    (PseudoHS(lam=35), [0.9, 0.95, 1.0]),
+    (LennardJones(), [0.9, 1.0, 1.12, 1.5, 2.4, 2.6]),
+    (LennardJones(shift=True, force_shift=True), [1.0, 1.5, 2.4]),
+    (LennardJonesXPLOR(r_on=2.0, r_cut=2.5), [1.0, 1.9, 2.1, 2.3, 2.45, 2.6]),
+])
+def test_evaluate_r2_matches_evaluate(pot, rs):
+    """The engines' sqrt-free hot path must agree with the canonical kernel:
+    u identical, f_over_r * r == f. Covers the XPLOR polynomial-in-r2 switch
+    and both parities of the PseudoHS exponent."""
+    for r in rs:
+        r = jnp.asarray(r, jnp.float64)
+        u, f = pot.evaluate(r, 1.1, 0.9)
+        u2, f_over_r = pot.evaluate_r2(r * r, 1.1, 0.9)
+        np.testing.assert_allclose(u2, u, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(f_over_r * r, f, rtol=1e-10, atol=1e-12)
+
+
+def test_lj_lrc_prefactors():
+    """True tail corrections carry eps * sigma^3 (the reference omits them,
+    /root/reference/src/potentials.jl:111-128 — correct only at eps=sigma=1)."""
+    n, volume = 1000, 1250.0
+    base_e = float(LennardJones(r_cut=2.5, tail_correction=True).energy_lrc(n, volume))
+    base_p = float(LennardJones(r_cut=2.5, tail_correction=True).pressure_lrc(n, volume))
+    pot = LennardJones(epsilon=2.0, sigma=1.0, r_cut=2.5, tail_correction=True)
+    np.testing.assert_allclose(float(pot.energy_lrc(n, volume)), 2.0 * base_e, rtol=1e-12)
+    np.testing.assert_allclose(float(pot.pressure_lrc(n, volume)), 2.0 * base_p, rtol=1e-12)
+    # sigma scaling: integrand sigma-dependence is sigma^3 * f(sigma/rc) — check
+    # against direct numerical integration of the tail integral.
+    import scipy.integrate as si
+    eps, sig, rc = 1.0, 1.3, 3.5
+    pot = LennardJones(epsilon=eps, sigma=sig, r_cut=rc, tail_correction=True)
+    rho = n / volume
+    v = lambda r: 4 * eps * ((sig / r) ** 12 - (sig / r) ** 6)
+    e_num = 2 * np.pi * rho * n * si.quad(lambda r: v(r) * r * r, rc, np.inf)[0]
+    np.testing.assert_allclose(float(pot.energy_lrc(n, volume)), e_num, rtol=1e-8)
