@@ -56,8 +56,16 @@ def _add(x, comp, dx, compensated: bool):
     return x + dx, comp
 
 
-def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True):
-    """Velocity-Verlet step with NVE/NVT ensemble logic fused in."""
+def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
+                 axis_name: str | None = None):
+    """Velocity-Verlet step with NVE/NVT ensemble logic fused in.
+
+    ``axis_name``: when the step runs inside ``shard_map`` over a device mesh
+    (particle arrays row-sharded), global reductions (kinetic energy for the
+    thermostat and temperature) become psums over this axis — the SAME physics
+    code serves single-device and sharded execution, so the Bussi algebra
+    exists exactly once in the codebase. The engine is then responsible for
+    its own collectives (see mdtpu.parallel)."""
     if isinstance(ensemble, Brownian):
         raise TypeError("use make_brownian_step for Brownian dynamics")
     is_nvt = isinstance(ensemble, NVT)
@@ -87,11 +95,12 @@ def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True)
         if is_nvt:
             ktemp_t = ensemble.ktemp(step_1indexed)
             key_step = jax.random.fold_in(state.key, state.step)
-            v = bussi_rescale(key_step, v, ktemp_t, state.nf, dt, ensemble.tau)
+            v = bussi_rescale(key_step, v, ktemp_t, state.nf, dt, ensemble.tau,
+                              axis_name=axis_name)
             if compensated:
                 # Rescaling invalidates the velocity compensation buffer.
                 vc = jnp.zeros_like(vc)
-        temperature = compute_temperature(v, state.nf)
+        temperature = compute_temperature(v, state.nf, axis_name=axis_name)
 
         return state.replace(
             positions=x,
@@ -111,7 +120,8 @@ def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True)
 
 
 def make_brownian_step(params: Parameters, ensemble: Brownian, engine,
-                       compensated: bool = True):
+                       compensated: bool = True,
+                       axis_name: str | None = None):
     """Overdamped Euler-Maruyama (Ermak-McCammon) step.
 
     Matches the intended reference behaviour (/root/reference/src/integrate.jl:66-83,
@@ -137,6 +147,10 @@ def make_brownian_step(params: Parameters, ensemble: Brownian, engine,
         )
 
         key_step = jax.random.fold_in(state.key, state.step)
+        if axis_name is not None:
+            # Each shard draws its own noise slab (key is replicated).
+            key_step = jax.random.fold_in(
+                key_step, jax.lax.axis_index(axis_name))
         u = jax.random.uniform(key_step, state.positions.shape, dtype=dtype)
         noise = (2.0 * u - 1.0) * SQRT3
 
@@ -169,12 +183,16 @@ def make_brownian_step(params: Parameters, ensemble: Brownian, engine,
     return step
 
 
-def make_step(params: Parameters, ensemble, engine, compensated: bool = True):
+def make_step(params: Parameters, ensemble, engine, compensated: bool = True,
+              axis_name: str | None = None):
     """Dispatch on ensemble type — the analog of the reference's
     ``ensemble_step!`` multiple dispatch (/root/reference/src/integrate.jl:40-53)
-    plus the two ``run_simulation!`` methods."""
+    plus the two ``run_simulation!`` methods. See make_md_step for
+    ``axis_name`` (sharded execution)."""
     if isinstance(ensemble, Brownian):
-        return make_brownian_step(params, ensemble, engine, compensated)
+        return make_brownian_step(params, ensemble, engine, compensated,
+                                  axis_name=axis_name)
     if isinstance(ensemble, (NVT, NVE)):
-        return make_md_step(params, ensemble, engine, compensated)
+        return make_md_step(params, ensemble, engine, compensated,
+                            axis_name=axis_name)
     raise TypeError(f"unknown ensemble type: {type(ensemble).__name__}")

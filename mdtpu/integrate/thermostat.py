@@ -23,16 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
-def compute_kinetic(velocities):
+def compute_kinetic(velocities, axis_name=None):
     """Total kinetic energy 0.5 * sum v^2 (unit masses, matching the
-    reference /root/reference/src/thermostat.jl:50-60)."""
-    return 0.5 * jnp.sum(velocities * velocities)
+    reference /root/reference/src/thermostat.jl:50-60). Under ``shard_map``
+    pass ``axis_name`` to psum the per-shard partial — the analog of the
+    reference's reducer tree (/root/reference/src/pairwise.jl:17-23)."""
+    kinetic = 0.5 * jnp.sum(velocities * velocities)
+    if axis_name is not None:
+        kinetic = jax.lax.psum(kinetic, axis_name)
+    return kinetic
 
 
-def compute_temperature(velocities, nf):
+def compute_temperature(velocities, nf, axis_name=None):
     """Instantaneous kinetic temperature 2K/nf
     (/root/reference/src/thermostat.jl:62-67)."""
-    return 2.0 * compute_kinetic(velocities) / nf
+    return 2.0 * compute_kinetic(velocities, axis_name) / nf
 
 
 def sum_noises(key, nf):
@@ -44,13 +49,16 @@ def sum_noises(key, nf):
     return jnp.where(nf > 0, draw, jnp.zeros_like(draw))
 
 
-def bussi_rescale(key, velocities, ktemp, nf, dt, tau):
+def bussi_rescale(key, velocities, ktemp, nf, dt, tau, axis_name=None):
     """Return velocities rescaled by the exact Bussi factor.
 
-    Reference: /root/reference/src/thermostat.jl:20-48.
+    Reference: /root/reference/src/thermostat.jl:20-48. Sharded semantics
+    (``axis_name`` set): the kinetic energy is psum'ed so every shard computes
+    the SAME global rescale factor from the same (replicated) key — one
+    thermostat for the whole system, not one per shard.
     """
     dtype = velocities.dtype
-    kinetic = compute_kinetic(velocities)
+    kinetic = compute_kinetic(velocities, axis_name)
     current_temperature = 2.0 * kinetic / nf
 
     k1, k2 = jax.random.split(key)

@@ -38,6 +38,12 @@ from flax import struct
 
 from mdtpu.ops.neighbor_list import _grid_for_box
 
+# Far-pad coordinates for vacant capacity slots: mutually > any cutoff apart
+# and > any cutoff away from every real particle, so the r2 < rc^2 test
+# eliminates them without occupancy masks.
+_FAR_PAD_BASE = 1.0e6
+_FAR_PAD_SPACING = 4.0
+
 
 @struct.dataclass
 class CellGridState:
@@ -138,15 +144,30 @@ class CellGridEngine:
 
     def _compute_zwindow(self, positions, diameters, cell, cell_inv,
                          nbrs: CellGridState):
-        """3D fast path: z-window formulation.
+        """3D fast path: ghosted z-window formulation.
 
         The 27-cell stencil is collapsed to the 9 in-plane (x, y) offsets by
-        concatenating the z-rolled grids into (..., 3C) windows — every pair
-        block is then (C, 3C) with a 99-wide (C=33) lane dimension instead of
-        27 blocks of (C, C) with a 33-wide one; TPU pads lanes to 128, so this
-        cuts padded compute ~3x. In-plane offsets use the Newton half stencil
-        (4 offsets + self) with reactions un-windowed by z-rolls and rolled
-        back in-plane — still no gathers or scatters anywhere.
+        concatenating the z-shifted grids into (..., 3C) windows — every pair
+        block is then (C, 3C) with one lane tile instead of 27 (C, C) blocks;
+        TPU pads lanes to 128, so this cuts padded compute ~3x. In-plane
+        offsets use the Newton half stencil (4 offsets + self) with reactions
+        un-windowed by z-rolls and rolled back in-plane — no gathers or
+        scatters anywhere.
+
+        Two per-slot-op eliminations (the pair block is pure VPU work, so
+        every op per (cell, i, j) slot is ~1.4e8 ops/step at the bench size):
+
+        * **ghost-shifted windows**: wrap-around neighbors get the box length
+          added/subtracted at window/roll construction time (O(n_cells * 3C)
+          work), so displacements are true displacements — no per-slot
+          minimum-image round/mul/sub (9 ops).
+        * **far-pad empty slots**: vacant capacity slots hold mutually-distant
+          far coordinates instead of zeros, so the r2 < rc^2 test kills them —
+          no occupancy masks (2 and-ops + the occupancy loads). Self pairs
+          (r2 = 0) are excluded by adding a huge constant to the diagonal
+          band of the self column (1 add replaces a mask and). Since all
+          surviving r2 are bounded away from 0, the r2_safe select guarding
+          the reciprocal is dropped too.
         """
         n, dim = positions.shape
         dtype = positions.dtype
@@ -155,60 +176,75 @@ class CellGridEngine:
         n_cells = nx * ny * nz
         pad = n_cells * cap + 1
         lengths = [cell[k, k] for k in range(dim)]
-        inv_lengths = [1.0 / lk for lk in lengths]
 
-        # Refresh padded coordinates at current positions.
+        # Refresh padded coordinates at current positions over the far-pad
+        # base: vacant slot s sits at coordinate PAD_BASE + PAD_SPACING * s on
+        # every component — pairwise distances between vacant slots and to any
+        # real particle far exceed the cutoff.
+        #
+        # Coordinates are stored as ref + MIC(pos - ref): a particle that
+        # drifted across the box boundary since build time (and was wrapped to
+        # the far side) is pulled back next to its home cell, so the ghost
+        # windows below see every slot within skin/2 of its cell and image
+        # shifts are exact without per-slot MIC. O(N) per component.
         pos_t = positions.T
+        ref_t = nbrs.ref_positions.T
+        far = _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(
+            pad, dtype=dtype)
         grids = []
         for k in range(dim):
-            g = jnp.zeros((pad,), dtype).at[nbrs.addr].set(pos_t[k])[:-1]
+            dk = pos_t[k] - ref_t[k]
+            dk = dk - lengths[k] * jnp.round(dk / lengths[k])
+            g = far.at[nbrs.addr].set(ref_t[k] + dk)[:-1]
             grids.append(g.reshape(nx, ny, nz, cap))
-        occ = nbrs.occupied.reshape(nx, ny, nz, cap)
         diam = nbrs.sorted_diam.reshape(nx, ny, nz, cap)
 
         cutoff2 = jnp.asarray(self.cutoff * self.cutoff, dtype)
 
-        def window(a):
-            # win[..., z, w*C + c] = a[..., z + (w - 1), c] (periodic in z)
-            return jnp.concatenate(
-                [jnp.roll(a, 1, axis=2), a, jnp.roll(a, -1, axis=2)], axis=3)
+        def window(a, ghost_shift=None):
+            # win[..., z, w*C + c] = a[..., z + (w - 1), c]; periodic in z,
+            # with ghost_shift (the box length) baked into the wrapped plane
+            # of the z component so no per-slot MIC is needed.
+            if ghost_shift is None:
+                zm = jnp.roll(a, 1, axis=2)
+                zp = jnp.roll(a, -1, axis=2)
+            else:
+                zm = jnp.concatenate(
+                    [a[:, :, -1:] - ghost_shift, a[:, :, :-1]], axis=2)
+                zp = jnp.concatenate(
+                    [a[:, :, 1:], a[:, :, :1] + ghost_shift], axis=2)
+            return jnp.concatenate([zm, a, zp], axis=3)
 
-        win = [window(g) for g in grids]
-        win_occ = window(occ)
+        win = [window(grids[k], lengths[k] if k == 2 else None)
+               for k in range(dim)]
         win_diam = window(diam)
 
         own = [g.reshape(n_cells, cap, 1) for g in grids]
-        own_occ3 = occ.reshape(n_cells, cap, 1)
         own_diam3 = diam.reshape(n_cells, cap, 1)
 
-        # Center-band self mask: window column cap + i is own slot i.
+        # Self-pair exclusion: window column cap + i is own slot i; adding a
+        # huge value to that diagonal band pushes self pairs past the cutoff.
         i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
         j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
-        center_eye = (j_ids == i_ids + cap)[None, :, :]
+        diag_bump = jnp.where(j_ids == i_ids + cap,
+                              jnp.asarray(1e30, dtype),
+                              jnp.zeros((), dtype))[None, :, :]
 
-        def pair_block(wc, wo, wd, exclude_self):
+        def pair_block(wc, wd, exclude_self):
             wc = [w.reshape(n_cells, 1, 3 * cap) for w in wc]
-            wo = wo.reshape(n_cells, 1, 3 * cap)
             wd = wd.reshape(n_cells, 1, 3 * cap)
-            d_comps = []
-            r2 = jnp.zeros((n_cells, cap, 3 * cap), dtype)
-            for k in range(dim):
-                dk = own[k] - wc[k]
-                # MIC via reciprocal multiply (divides are multi-pass on VPU)
-                dk = dk - lengths[k] * jnp.round(dk * inv_lengths[k])
-                d_comps.append(dk)
-                r2 = r2 + dk * dk
-            mask = own_occ3 & wo & (r2 < cutoff2)
+            d_comps = [own[k] - wc[k] for k in range(dim)]
+            r2 = sum(dk * dk for dk in d_comps)
             if exclude_self:
-                mask = mask & (~center_eye)
-            r2_safe = jnp.where(mask, r2, jnp.ones_like(r2))
-            u, f_over_r = self.potential.evaluate_r2(r2_safe, own_diam3, wd)
+                r2 = r2 + diag_bump
+            mask = r2 < cutoff2
+            u, f_over_r = self.potential.evaluate_r2(r2, own_diam3, wd)
             u = jnp.where(mask, u, jnp.zeros_like(u))
             f_over_r = jnp.where(mask, f_over_r, jnp.zeros_like(f_over_r))
-            return u, f_over_r, r2_safe, d_comps
+            return u, f_over_r, r2, d_comps
 
         # Self column (ox = oy = 0): every pair appears from both sides.
-        u, f_over_r, r2s, d_comps = pair_block(win, win_occ, win_diam, True)
+        u, f_over_r, r2s, d_comps = pair_block(win, win_diam, True)
         energy = 0.5 * jnp.sum(u)
         virial = 0.5 * jnp.sum(f_over_r * r2s)
         f_own = jnp.stack(
@@ -221,13 +257,29 @@ class CellGridEngine:
                     + r[..., 1, :]
                     + jnp.roll(r[..., 2, :], 1, axis=2))
 
+        def plane_shift(w, ox, oy, ghost_x, ghost_y):
+            """Neighbor view of a window array for in-plane offset (ox, oy),
+            with ghost shifts baked into the wrapped x/y planes (ghost_* is
+            the box length for that array's own component, else None)."""
+            if ox == 1:
+                top = w[:1] + ghost_x if ghost_x is not None else w[:1]
+                w = jnp.concatenate([w[1:], top], axis=0)
+            if oy == 1:
+                left = w[:, :1] + ghost_y if ghost_y is not None else w[:, :1]
+                w = jnp.concatenate([w[:, 1:], left], axis=1)
+            elif oy == -1:
+                right = w[:, -1:] - ghost_y if ghost_y is not None else w[:, -1:]
+                w = jnp.concatenate([right, w[:, :-1]], axis=1)
+            return w
+
         # In-plane Newton half stencil.
         for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
-            shift = (-ox, -oy)
-            wc = [jnp.roll(w, shift, axis=(0, 1)) for w in win]
-            wo = jnp.roll(win_occ, shift, axis=(0, 1))
-            wd = jnp.roll(win_diam, shift, axis=(0, 1))
-            u, f_over_r, r2s, d_comps = pair_block(wc, wo, wd, False)
+            wc = [plane_shift(win[k], ox, oy,
+                              lengths[0] if k == 0 else None,
+                              lengths[1] if k == 1 else None)
+                  for k in range(dim)]
+            wd = plane_shift(win_diam, ox, oy, None, None)
+            u, f_over_r, r2s, d_comps = pair_block(wc, wd, False)
             energy = energy + jnp.sum(u)
             virial = virial + jnp.sum(f_over_r * r2s)
             reacts = []

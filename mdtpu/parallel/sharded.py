@@ -23,17 +23,15 @@ order), verified in tests/test_parallel.py on 8 virtual CPU devices.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
 
-from mdtpu.core.box import minimum_image, wrap_positions
-from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
+from mdtpu.core.types import Parameters, SimulationState
 from mdtpu.parallel.mesh import SHARD_AXIS, particle_sharding, replicated
-from mdtpu.utils.math import kahan_add
 
 _PARTICLE_FIELDS = (
     "positions", "velocities", "forces", "images", "diameters",
@@ -118,100 +116,72 @@ def _local_pair_sweep(potential, cutoff, x_local, diam_local, x_all, diam_all,
     return energy_partial, virial_partial, forces_local
 
 
+@struct.dataclass
+class ShardedAllPairsEngine:
+    """All-pairs engine for a row-sharded particle slab under ``shard_map``.
+
+    Implements the standard engine protocol (allocate/compute/needs_rebuild)
+    so the ordinary ``make_step`` physics runs unchanged on a mesh: compute()
+    all-gathers remote positions over ICI for the pair sweep of the local slab
+    and psums the energy/virial scalars — the explicit-collective analog of
+    CellListMap's thread-local outputs + reducer
+    (/root/reference/src/pairwise.jl:2-23). Forces for local rows need no
+    communication (each pair is evaluated on both owning shards).
+
+    For the scalable O(N/P) production engine see
+    mdtpu.parallel.halo.HaloCellGridEngine.
+    """
+
+    potential: Any
+    cutoff: Any = struct.field(pytree_node=False, default=1.5)
+    axis_name: str = struct.field(pytree_node=False, default=SHARD_AXIS)
+
+    def allocate(self, positions, diameters, cell, cell_inv):
+        # None (not ()) keeps the state pytree structure identical across
+        # steps under shard_map's fixed in/out specs.
+        return None
+
+    def needs_rebuild(self, positions, nbrs, cell, cell_inv):
+        return jnp.asarray(False)
+
+    def compute(self, positions, diameters, cell, cell_inv, nbrs=None):
+        axis = self.axis_name
+        x_all = jax.lax.all_gather(positions, axis, tiled=True)
+        diam_all = jax.lax.all_gather(diameters, axis, tiled=True)
+        e_p, w_p, f_local = _local_pair_sweep(
+            self.potential, self.cutoff, positions, diameters, x_all,
+            diam_all, cell, cell_inv, jax.lax.axis_index(axis),
+            positions.shape[0],
+        )
+        energy = jax.lax.psum(e_p, axis)
+        virial = jax.lax.psum(w_p, axis)
+        return energy, virial, f_local, nbrs
+
+
 def make_shard_map_step(params: Parameters, ensemble, engine, mesh: Mesh,
                         compensated: bool = True):
-    """Explicit-collective step: all-pairs engine under shard_map.
+    """Explicit-collective step under shard_map.
+
+    The physics is the ordinary ``make_step`` (ONE implementation of the
+    Velocity-Verlet / Bussi / Brownian algebra in the codebase) invoked with
+    ``axis_name`` so its global reductions become psums; the pair sweep is an
+    engine with collectives inside. ``engine`` selects the sweep: a
+    HaloCellGridEngine (or any protocol-compatible sharded engine) is used
+    as-is; anything else (e.g. the single-device NaivePairEngine) is mapped to
+    the all-gather ShardedAllPairsEngine with the same potential and cutoff.
 
     State layout: particle fields sharded over rows; cell/key/step/etc.
-    replicated. Reductions over the shard axis are explicit psums.
+    replicated.
     """
-    from mdtpu.integrate.thermostat import sum_noises
+    from mdtpu.integrate.step import make_step
 
-    potential = params.potential
-    cutoff = engine.cutoff
-    is_nvt = isinstance(ensemble, NVT)
-    is_brownian = isinstance(ensemble, Brownian)
-    axis = SHARD_AXIS
-    n_shards = mesh.devices.size
-
-    def step_local(state: SimulationState) -> SimulationState:
-        dtype = state.positions.dtype
-        dt = jnp.asarray(params.dt, dtype)
-        half = 0.5 * dt
-        cell, cell_inv = state.unitcell, state.unitcell_inv
-        shard_index = jax.lax.axis_index(axis)
-        shard_size = state.positions.shape[0]
-        nf = state.nf
-
-        def pair_sweep(x_local, diam_local):
-            x_all = jax.lax.all_gather(x_local, axis, tiled=True)
-            diam_all = jax.lax.all_gather(diam_local, axis, tiled=True)
-            e_p, w_p, f_local = _local_pair_sweep(
-                potential, cutoff, x_local, diam_local, x_all, diam_all,
-                cell, cell_inv, shard_index, shard_size,
-            )
-            energy = jax.lax.psum(e_p, axis)
-            virial = jax.lax.psum(w_p, axis)
-            return energy, virial, f_local
-
-        def add(x, c, dx):
-            if compensated:
-                return kahan_add(x, c, dx)
-            return x + dx, c
-
-        if is_brownian:
-            energy, virial, forces = pair_sweep(state.positions, state.diameters)
-            ktemp = jnp.asarray(ensemble.ktemp, dtype)
-            key_step = jax.random.fold_in(state.key, state.step)
-            key_shard = jax.random.fold_in(key_step, shard_index)
-            u = jax.random.uniform(key_shard, state.positions.shape, dtype=dtype)
-            noise = (2.0 * u - 1.0) * jnp.sqrt(jnp.asarray(3.0, dtype))
-            dx = forces * (dt / ktemp) + noise * jnp.sqrt(2.0 * dt)
-            x, xc = add(state.positions, state.pos_comp, dx)
-            x, images = wrap_positions(x, state.images, cell, cell_inv)
-            take = (state.step % 10) == 0
-            return state.replace(
-                positions=x, forces=forces, images=images,
-                step=state.step + 1, energy=energy, virial=virial,
-                temperature=ktemp, pos_comp=xc,
-                virial_accum=state.virial_accum + jnp.where(take, virial, 0.0),
-                nprom=state.nprom + take.astype(state.nprom.dtype),
-            )
-
-        # MD path: kick-drift-wrap, pair sweep, kick, thermostat.
-        v, vc = add(state.velocities, state.vel_comp, state.forces * half)
-        x, xc = add(state.positions, state.pos_comp, v * dt)
-        x, images = wrap_positions(x, state.images, cell, cell_inv)
-
-        energy, virial, forces = pair_sweep(x, state.diameters)
-        v, vc = add(v, vc, forces * half)
-
-        step_1indexed = state.step + 1
-        kinetic = 0.5 * jax.lax.psum(jnp.sum(v * v), axis)
-        current_t = 2.0 * kinetic / nf
-        if is_nvt:
-            ktemp_t = jnp.asarray(ensemble.ktemp(step_1indexed), dtype)
-            # Bussi: ONE global rescale factor — same RNG draws on every shard
-            # (replicated key), kinetic energy psum'ed above.
-            key_step = jax.random.fold_in(state.key, state.step)
-            k1, k2 = jax.random.split(key_step)
-            r1 = jax.random.normal(k1, dtype=jnp.float32).astype(dtype)
-            r2 = sum_noises(k2, nf - 1.0).astype(dtype)
-            term_1 = jnp.exp(-dt / jnp.asarray(ensemble.tau, dtype))
-            c2 = (1.0 - term_1) * ktemp_t / (current_t * nf)
-            scale = jnp.sqrt(term_1 + c2 * (r2 + r1 * r1)
-                             + 2.0 * r1 * jnp.sqrt(term_1 * c2))
-            v = v * scale
-            if compensated:
-                vc = jnp.zeros_like(vc)
-            kinetic = 0.5 * jax.lax.psum(jnp.sum(v * v), axis)
-            current_t = 2.0 * kinetic / nf
-
-        return state.replace(
-            positions=x, velocities=v, forces=forces, images=images,
-            step=step_1indexed, energy=energy, virial=virial,
-            temperature=current_t, pos_comp=xc, vel_comp=vc,
-        )
+    if not hasattr(engine, "axis_name"):
+        engine = ShardedAllPairsEngine(potential=engine.potential,
+                                       cutoff=engine.cutoff,
+                                       axis_name=SHARD_AXIS)
+    axis = getattr(engine, "axis_name", SHARD_AXIS)
+    step_local = make_step(params, ensemble, engine, compensated=compensated,
+                           axis_name=axis)
 
     spec_tree = state_partition_specs(cutoff=float(engine.cutoff))
     fn = jax.shard_map(

@@ -91,3 +91,27 @@ def test_shard_map_step_brownian_runs(mesh):
     assert int(sh.step) == 15
     assert int(sh.nprom) == 2  # steps 0 and 10
     assert np.all(np.isfinite(np.asarray(sh.positions)))
+
+
+def test_shard_map_step_nvt_matches_single_device(mesh):
+    """The sharded NVT step must be the SAME physics as the single-device
+    step — one Bussi implementation, global kinetic via psum, identical
+    (replicated-key) noise draws — so trajectories agree to reduction-order
+    tolerance. Much stronger than a mean-temperature band."""
+    state, params, engine = _base()
+    ref_step = jax.jit(make_step(params, NVT(0.75, 0.2), engine))
+    ref = state
+    for _ in range(30):
+        ref = ref_step(ref)
+
+    sh = shard_state(state.replace(nbrs=None), mesh)
+    sm_step = make_shard_map_step(params, NVT(0.75, 0.2), engine, mesh)
+    for _ in range(30):
+        sh = sm_step(sh)
+        jax.block_until_ready(sh)
+
+    np.testing.assert_allclose(np.asarray(sh.velocities),
+                               np.asarray(ref.velocities),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(sh.temperature), float(ref.temperature),
+                               rtol=1e-9)
