@@ -40,13 +40,22 @@ def engine_forces(engine, positions, diameters, cell, cell_inv, nbrs):
         nbrs = engine.allocate(positions, diameters, cell, cell_inv)
     else:
         rebuild = engine.needs_rebuild(positions, nbrs, cell, cell_inv)
-        nbrs = jax.lax.cond(
-            rebuild,
-            lambda p, n: engine.allocate(p, diameters, cell, cell_inv),
-            lambda p, n: n,
-            positions,
-            nbrs,
-        )
+        if isinstance(rebuild, bool):
+            # Static answer: skip the cond entirely. Engines whose rebuild
+            # policy is external (halo reshard at driver boundaries) or
+            # nonexistent (all-pairs) return plain False — important under
+            # shard_map, where collectives inside a lax.cond branch are not
+            # SPMD-safe even when never taken.
+            if rebuild:
+                nbrs = engine.allocate(positions, diameters, cell, cell_inv)
+        else:
+            nbrs = jax.lax.cond(
+                rebuild,
+                lambda p, n: engine.allocate(p, diameters, cell, cell_inv),
+                lambda p, n: n,
+                positions,
+                nbrs,
+            )
     return engine.compute(positions, diameters, cell, cell_inv, nbrs)
 
 

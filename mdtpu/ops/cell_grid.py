@@ -45,6 +45,43 @@ _FAR_PAD_BASE = 1.0e6
 _FAR_PAD_SPACING = 4.0
 
 
+def refresh_far_grids(positions, nbrs, grid, cap, lengths):
+    """Scatter current positions into the sorted cell layout over the far-pad
+    base. Coordinates are stored as ref + MIC(pos - ref) so every slot sits
+    within skin/2 of its home cell (exact ghost-window image shifts); vacant
+    slots hold mutually-distant far coordinates (no occupancy masks).
+    Returns per-component grids of shape grid + (cap,)."""
+    dim = positions.shape[1]
+    dtype = positions.dtype
+    n_cells = int(np.prod(grid))
+    pad = n_cells * cap + 1
+    pos_t = positions.T
+    ref_t = nbrs.ref_positions.T
+    far = _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(pad, dtype=dtype)
+    grids = []
+    for k in range(dim):
+        dk = pos_t[k] - ref_t[k]
+        dk = dk - lengths[k] * jnp.round(dk / lengths[k])
+        g = far.at[nbrs.addr].set(ref_t[k] + dk)[:-1]
+        grids.append(g.reshape(tuple(grid) + (cap,)))
+    return grids
+
+
+def ghost_z_window(a, ghost_shift=None):
+    """Concatenate the z-1 / z / z+1 cell contents into (..., z, 3C) windows;
+    win[..., z, w*C + c] = a[..., z + (w - 1), c], periodic in z. For the z
+    coordinate component pass ghost_shift = Lz so the wrapped plane carries
+    true (image-shifted) coordinates and no per-slot MIC is needed."""
+    if ghost_shift is None:
+        zm = jnp.roll(a, 1, axis=2)
+        zp = jnp.roll(a, -1, axis=2)
+    else:
+        zm = jnp.concatenate([a[:, :, -1:] - ghost_shift, a[:, :, :-1]],
+                             axis=2)
+        zp = jnp.concatenate([a[:, :, 1:], a[:, :, :1] + ghost_shift], axis=2)
+    return jnp.concatenate([zm, a, zp], axis=3)
+
+
 @struct.dataclass
 class CellGridState:
     addr: jnp.ndarray           # (N,) slot address of each particle: cid*C + rank
@@ -177,47 +214,14 @@ class CellGridEngine:
         pad = n_cells * cap + 1
         lengths = [cell[k, k] for k in range(dim)]
 
-        # Refresh padded coordinates at current positions over the far-pad
-        # base: vacant slot s sits at coordinate PAD_BASE + PAD_SPACING * s on
-        # every component — pairwise distances between vacant slots and to any
-        # real particle far exceed the cutoff.
-        #
-        # Coordinates are stored as ref + MIC(pos - ref): a particle that
-        # drifted across the box boundary since build time (and was wrapped to
-        # the far side) is pulled back next to its home cell, so the ghost
-        # windows below see every slot within skin/2 of its cell and image
-        # shifts are exact without per-slot MIC. O(N) per component.
-        pos_t = positions.T
-        ref_t = nbrs.ref_positions.T
-        far = _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(
-            pad, dtype=dtype)
-        grids = []
-        for k in range(dim):
-            dk = pos_t[k] - ref_t[k]
-            dk = dk - lengths[k] * jnp.round(dk / lengths[k])
-            g = far.at[nbrs.addr].set(ref_t[k] + dk)[:-1]
-            grids.append(g.reshape(nx, ny, nz, cap))
+        grids = refresh_far_grids(positions, nbrs, self.grid, cap, lengths)
         diam = nbrs.sorted_diam.reshape(nx, ny, nz, cap)
 
         cutoff2 = jnp.asarray(self.cutoff * self.cutoff, dtype)
 
-        def window(a, ghost_shift=None):
-            # win[..., z, w*C + c] = a[..., z + (w - 1), c]; periodic in z,
-            # with ghost_shift (the box length) baked into the wrapped plane
-            # of the z component so no per-slot MIC is needed.
-            if ghost_shift is None:
-                zm = jnp.roll(a, 1, axis=2)
-                zp = jnp.roll(a, -1, axis=2)
-            else:
-                zm = jnp.concatenate(
-                    [a[:, :, -1:] - ghost_shift, a[:, :, :-1]], axis=2)
-                zp = jnp.concatenate(
-                    [a[:, :, 1:], a[:, :, :1] + ghost_shift], axis=2)
-            return jnp.concatenate([zm, a, zp], axis=3)
-
-        win = [window(grids[k], lengths[k] if k == 2 else None)
+        win = [ghost_z_window(grids[k], lengths[k] if k == 2 else None)
                for k in range(dim)]
-        win_diam = window(diam)
+        win_diam = ghost_z_window(diam)
 
         own = [g.reshape(n_cells, cap, 1) for g in grids]
         own_diam3 = diam.reshape(n_cells, cap, 1)

@@ -142,7 +142,9 @@ class ShardedAllPairsEngine:
         return None
 
     def needs_rebuild(self, positions, nbrs, cell, cell_inv):
-        return jnp.asarray(False)
+        # Plain False: statically skips the rebuild cond (collectives inside
+        # a lax.cond branch are not SPMD-safe under shard_map).
+        return False
 
     def compute(self, positions, diameters, cell, cell_inv, nbrs=None):
         axis = self.axis_name
@@ -159,7 +161,7 @@ class ShardedAllPairsEngine:
 
 
 def make_shard_map_step(params: Parameters, ensemble, engine, mesh: Mesh,
-                        compensated: bool = True):
+                        compensated: bool = True, state_cutoff=None):
     """Explicit-collective step under shard_map.
 
     The physics is the ordinary ``make_step`` (ONE implementation of the
@@ -183,7 +185,14 @@ def make_shard_map_step(params: Parameters, ensemble, engine, mesh: Mesh,
     step_local = make_step(params, ensemble, engine, compensated=compensated,
                            axis_name=axis)
 
-    spec_tree = state_partition_specs(cutoff=float(engine.cutoff))
+    # The spec tree's static metadata must match the state's (cutoff is
+    # pytree metadata on SimulationState); pass state_cutoff when the state
+    # was built with a different cutoff than the engine's.
+    if state_cutoff is None:
+        state_cutoff = float(engine.cutoff)
+    nbrs_spec = (engine.nbrs_partition_specs()
+                 if hasattr(engine, "nbrs_partition_specs") else None)
+    spec_tree = state_partition_specs(cutoff=state_cutoff, nbrs=nbrs_spec)
     fn = jax.shard_map(
         step_local, mesh=mesh,
         in_specs=(spec_tree,), out_specs=spec_tree,
@@ -192,10 +201,11 @@ def make_shard_map_step(params: Parameters, ensemble, engine, mesh: Mesh,
     return jax.jit(fn)
 
 
-def state_partition_specs(cutoff: float = 1.5) -> SimulationState:
+def state_partition_specs(cutoff: float = 1.5, nbrs=None) -> SimulationState:
     """Prefix pytree of PartitionSpecs for a SimulationState: particle arrays
     row-sharded, everything else replicated. ``cutoff`` must match the state's
-    static cutoff field (pytree metadata)."""
+    static cutoff field (pytree metadata); ``nbrs`` is the engine's neighbor
+    state spec subtree (None for stateless sharded engines)."""
     import dataclasses
 
     field_names = [f.name for f in dataclasses.fields(SimulationState)
@@ -203,6 +213,6 @@ def state_partition_specs(cutoff: float = 1.5) -> SimulationState:
     return SimulationState(
         **{f: (P(SHARD_AXIS) if f in _PARTICLE_FIELDS else P())
            for f in field_names},
-        nbrs=None,
+        nbrs=nbrs,
         cutoff=cutoff,
     )

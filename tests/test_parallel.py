@@ -115,3 +115,95 @@ def test_shard_map_step_nvt_matches_single_device(mesh):
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(float(sh.temperature), float(ref.temperature),
                                rtol=1e-9)
+
+
+def test_halo_cell_grid_matches_single_device(mesh):
+    """HaloCellGridEngine (x-plane domain decomposition + ppermute halos) vs
+    the single-device cell-grid engine: identical NVE physics."""
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.parallel.halo import (HaloCellGridEngine, allocate_sharded,
+                                     pad_state, reshard)
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+
+    cell_np = np.asarray(state.unitcell)
+    ref_eng = CellGridEngine.create(pot, 1.5, 0.3, cell_np, n)
+    ref_state = _with_forces(state, ref_eng)
+    ref_step = jax.jit(make_step(params, NVE(), ref_eng))
+    ref = ref_state
+    ref_energies = []
+    for _ in range(10):
+        ref = ref_step(ref)
+        ref_energies.append(float(ref.energy))
+
+    halo = HaloCellGridEngine.create(pot, 1.5, 0.3, cell_np, n, n_shards=8)
+    assert halo.grid[0] % 8 == 0
+    # same initial forces as the reference run (the first half-kick uses them)
+    padded, ovf = reshard(pad_state(ref_state.replace(nbrs=None), halo), halo)
+    assert not bool(ovf)
+    sh = allocate_sharded(shard_state(padded, mesh), halo, mesh)
+    sm_step = make_shard_map_step(params, NVE(), halo, mesh,
+                                  state_cutoff=1.5)
+    energies = []
+    for _ in range(10):
+        sh = sm_step(sh)
+        jax.block_until_ready(sh)
+        energies.append(float(sh.energy))
+
+    assert not bool(sh.nbrs.overflow)
+    np.testing.assert_allclose(energies, ref_energies, rtol=1e-9)
+    np.testing.assert_allclose(float(sh.virial), float(ref.virial), rtol=1e-9)
+    np.testing.assert_allclose(float(sh.temperature), float(ref.temperature),
+                               rtol=1e-9)
+    # Per-particle forces agree after matching rows by position. Pad rows
+    # are identified by their trash slot address (their coordinates get
+    # wrapped into the box by the integrator).
+    trash = halo.mx * halo.grid[1] * halo.grid[2] * halo.cell_capacity
+    real = np.asarray(sh.nbrs.addr) < trash
+    pos_sh = np.asarray(sh.positions)[real]
+    f_sh = np.asarray(sh.forces)[real]
+    pos_ref = np.asarray(ref.positions)
+    f_ref = np.asarray(ref.forces)
+    order_sh = np.lexsort(pos_sh.T)
+    order_ref = np.lexsort(pos_ref.T)
+    np.testing.assert_allclose(pos_sh[order_sh], pos_ref[order_ref],
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(f_sh[order_sh], f_ref[order_ref],
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_halo_reshard_roundtrip(mesh):
+    """reshard places every particle in its owner slab and preserves the
+    particle set; pad rows stay far."""
+    from mdtpu.parallel.halo import (HaloCellGridEngine, pad_state, reshard,
+                                     _FAR_THRESHOLD)
+
+    n, rho = 900, 0.3
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    halo = HaloCellGridEngine.create(pot, 1.5, 0.3, np.asarray(state.unitcell),
+                                     n, n_shards=8)
+    padded = pad_state(state, halo)
+    out, ovf = reshard(padded, halo)
+    assert not bool(ovf)
+    pos = np.asarray(out.positions)
+    valid = pos[:, 0] < _FAR_THRESHOLD
+    assert valid.sum() == n
+    # particle multiset preserved
+    a = np.sort(np.asarray(state.positions), axis=0)
+    b = np.sort(pos[valid], axis=0)
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    # each slab's particles are in its x-plane range
+    n_loc = out.positions.shape[0] // 8
+    nx, mx = halo.grid[0], halo.mx
+    L = float(state.unitcell[0, 0])
+    for p in range(8):
+        rows = slice(p * n_loc, (p + 1) * n_loc)
+        v = valid[rows]
+        ix = np.clip((pos[rows][v][:, 0] / L * nx).astype(int), 0, nx - 1)
+        assert ((ix // mx) == p).all()
