@@ -20,7 +20,7 @@ import numpy as np
 
 
 def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
-         sample_every=2_000, dtype=None):
+         sample_every=2_000, dtype=None, force_dtype=None):
     from mdtpu.core.types import NVE, NVT, Parameters
     from mdtpu.integrate.step import make_step, engine_forces
     from mdtpu.ops.cell_grid import CellGridEngine
@@ -45,18 +45,19 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
     params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
     engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
 
-    nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
-                           state.unitcell_inv)
-    e, w, f, nbrs = engine.compute(state.positions, state.diameters,
-                                   state.unitcell, state.unitcell_inv, nbrs)
-    state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+    e, w, f, nbrs = engine_forces(engine, state.positions, state.diameters,
+                                  state.unitcell, state.unitcell_inv, None,
+                                  force_dtype=force_dtype)
+    state = state.replace(nbrs=nbrs, forces=f.astype(dtype),
+                          energy=e.astype(dtype), virial=w.astype(dtype))
 
-    nvt = make_step(params, NVT(temp, 100 * dt), engine)
+    nvt = make_step(params, NVT(temp, 100 * dt), engine,
+                    force_dtype=force_dtype)
     adv_nvt = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nvt(x), s))
     state = adv_nvt(state, 20_000)
     jax.block_until_ready(state)
 
-    nve = make_step(params, NVE(), engine)
+    nve = make_step(params, NVE(), engine, force_dtype=force_dtype)
 
     @jax.jit
     def segment(s):
@@ -82,8 +83,11 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
 
     volume = float(L) ** 3
     pressure = virials.mean() / (3 * volume) + rho * temps.mean()
+    mode = jnp.dtype(dtype).name
+    if force_dtype is not None:
+        mode += f"+{jnp.dtype(force_dtype).name}-forces"
     print(json.dumps({
-        "gate": f"NVE drift per 1e6 steps (E/N, {jnp.dtype(dtype).name}, dt={dt}, pseudo-HS N={n})",
+        "gate": f"NVE drift per 1e6 steps (E/N, {mode}, dt={dt}, pseudo-HS N={n})",
         "drift_per_1e6_steps": float(drift_per_1e6),
         "target": 1e-4,
         "pass": bool(drift_per_1e6 < 1e-4),
@@ -100,7 +104,9 @@ if __name__ == "__main__":
     dt = float(sys.argv[1]) if len(sys.argv) > 1 else 0.001
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     kind = sys.argv[3] if len(sys.argv) > 3 else "f32"
-    if kind == "f64":
+    if kind in ("f64", "mixed"):
         jax.config.update("jax_enable_x64", True)
-    dtype = {"f32": jnp.float32, "f64": jnp.float64}[kind]
-    main(dt=dt, nve_steps=steps, dtype=dtype)
+    dtype = {"f32": jnp.float32, "f64": jnp.float64,
+             "mixed": jnp.float64}[kind]
+    force_dtype = jnp.float32 if kind == "mixed" else None
+    main(dt=dt, nve_steps=steps, dtype=dtype, force_dtype=force_dtype)

@@ -32,9 +32,20 @@ from mdtpu.utils.math import kahan_add
 SQRT3 = math.sqrt(3.0)
 
 
-def engine_forces(engine, positions, diameters, cell, cell_inv, nbrs):
+def engine_forces(engine, positions, diameters, cell, cell_inv, nbrs,
+                  force_dtype=None):
     """Evaluate forces, transparently rebuilding the engine's neighbor state
-    when stale (fixed shapes, so the rebuild is a ``lax.cond``)."""
+    when stale (fixed shapes, so the rebuild is a ``lax.cond``).
+
+    ``force_dtype``: evaluate the pair sweep in this dtype (e.g. f32) while
+    the caller integrates in a wider one (mixed-precision NVE: the O(N*nbrs)
+    sweep runs at f32 speed, the O(N) integration in f64 — see
+    make_md_step)."""
+    if force_dtype is not None and positions.dtype != force_dtype:
+        positions = positions.astype(force_dtype)
+        diameters = diameters.astype(force_dtype)
+        cell = cell.astype(force_dtype)
+        cell_inv = cell_inv.astype(force_dtype)
     if nbrs is None:
         # Structure-changing first build (static decision at trace time).
         nbrs = engine.allocate(positions, diameters, cell, cell_inv)
@@ -66,7 +77,7 @@ def _add(x, comp, dx, compensated: bool):
 
 
 def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
-                 axis_name: str | None = None):
+                 axis_name: str | None = None, force_dtype=None):
     """Velocity-Verlet step with NVE/NVT ensemble logic fused in.
 
     ``axis_name``: when the step runs inside ``shard_map`` over a device mesh
@@ -74,7 +85,15 @@ def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
     thermostat and temperature) become psums over this axis — the SAME physics
     code serves single-device and sharded execution, so the Bussi algebra
     exists exactly once in the codebase. The engine is then responsible for
-    its own collectives (see mdtpu.parallel)."""
+    its own collectives (see mdtpu.parallel).
+
+    ``force_dtype``: mixed-precision mode — run the pair sweep in this dtype
+    (f32: the hot O(N*nbrs) path at full TPU speed) while state integration
+    stays in the state's (wider) dtype. With f64 state + f32 forces the NVE
+    drift gate passes at near-f32 cost: integration rounding (the drift
+    mechanism Kahan cannot fully fix, because the periodic wrap re-rounds
+    coordinates) is f64, and the f32 force error enters only as a slow
+    random walk."""
     if isinstance(ensemble, Brownian):
         raise TypeError("use make_brownian_step for Brownian dynamics")
     is_nvt = isinstance(ensemble, NVT)
@@ -92,8 +111,13 @@ def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
 
         # Force evaluation (the analog of map_pairwise!).
         energy, virial, forces, nbrs = engine_forces(
-            engine, x, state.diameters, cell, cell_inv, state.nbrs
+            engine, x, state.diameters, cell, cell_inv, state.nbrs,
+            force_dtype=force_dtype,
         )
+        if forces.dtype != dtype:
+            forces = forces.astype(dtype)
+            energy = energy.astype(dtype)
+            virial = virial.astype(dtype)
 
         # Second half-kick (/root/reference/src/integrate.jl:28-38).
         v, vc = _add(v, vc, forces * half, compensated)
@@ -193,15 +217,16 @@ def make_brownian_step(params: Parameters, ensemble: Brownian, engine,
 
 
 def make_step(params: Parameters, ensemble, engine, compensated: bool = True,
-              axis_name: str | None = None):
+              axis_name: str | None = None, force_dtype=None):
     """Dispatch on ensemble type — the analog of the reference's
     ``ensemble_step!`` multiple dispatch (/root/reference/src/integrate.jl:40-53)
     plus the two ``run_simulation!`` methods. See make_md_step for
-    ``axis_name`` (sharded execution)."""
+    ``axis_name`` (sharded execution) and ``force_dtype`` (mixed-precision
+    integration)."""
     if isinstance(ensemble, Brownian):
         return make_brownian_step(params, ensemble, engine, compensated,
                                   axis_name=axis_name)
     if isinstance(ensemble, (NVT, NVE)):
         return make_md_step(params, ensemble, engine, compensated,
-                            axis_name=axis_name)
+                            axis_name=axis_name, force_dtype=force_dtype)
     raise TypeError(f"unknown ensemble type: {type(ensemble).__name__}")

@@ -73,95 +73,118 @@ def _plane_kernel(wx0_ref, wy0_ref, wz0_ref, wd0_ref,
                   fx_ref, fy_ref, fz_ref, rx_ref, ry_ref, rz_ref,
                   e_ref, w_ref,
                   *, potential, cutoff2, ny, nz, cap, chunk):
-    """One program = one x-plane of R = ny*nz cells."""
+    """One program = one x-plane of R = ny*nz cells.
+
+    VMEM discipline: the per-offset neighbor views are staged into ONE
+    (4, R, 3C) scratch buffer and the pair blocks run as a fori_loop over row
+    chunks — so at any instant only one chunk's (B, C, 3C) temporaries are
+    live (a fully unrolled version kept every offset's temporaries on the
+    Mosaic stack simultaneously and OOM'd VMEM even at tiny shapes)."""
     rows = ny * nz
     c3 = 3 * cap
     dtype = fx_ref.dtype
-
-    # Own-plane arrays and the (ghost-fixed) x+1 plane.
-    w0 = [wx0_ref[0], wy0_ref[0], wz0_ref[0], wd0_ref[0]]
-    w1 = [wx1_ref[0] + sx_ref[0, 0, 0], wy1_ref[0], wz1_ref[0], wd1_ref[0]]
-
-    # Own slots: the center C-wide band of the own window.
-    own = [w[:, cap:2 * cap] for w in w0]
-
-    # Row masks selecting the wrapped rows of the y rolls (built once).
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    top_rows = row_ids >= (ny - 1) * nz      # receive y=0 data under oy=+1
-    bot_rows = row_ids < nz                  # receive y=ny-1 data under oy=-1
-
-    ii = jax.lax.broadcasted_iota(jnp.int32, (cap, c3), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (cap, c3), 1)
-    diag_bump = jnp.where(jj == ii + cap, jnp.asarray(1e30, dtype),
-                          jnp.zeros((), dtype))[None]
-
+    n_chunks = rows // chunk
     cutoff2 = jnp.asarray(cutoff2, dtype)
 
-    # Zero the force accumulators.
-    fx_ref[0] = jnp.zeros((rows, cap), dtype)
-    fy_ref[0] = jnp.zeros((rows, cap), dtype)
-    fz_ref[0] = jnp.zeros((rows, cap), dtype)
+    def body(own_s, win_s):
+        # Own-plane arrays and the (ghost-fixed) x+1 plane.
+        w0 = [wx0_ref[0], wy0_ref[0], wz0_ref[0], wd0_ref[0]]
+        w1 = [wx1_ref[0] + sx_ref[0, 0, 0], wy1_ref[0], wz1_ref[0],
+              wd1_ref[0]]
+        for k in range(4):
+            # Own slots: the center C-wide band of the own window.
+            own_s[k] = w0[k][:, cap:2 * cap]
 
-    energy = jnp.zeros((), jnp.float32)
-    virial = jnp.zeros((), jnp.float32)
+        # Row masks selecting the wrapped rows of the y rolls (built once).
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        top_rows = row_ids >= (ny - 1) * nz   # receive y=0 data under oy=+1
+        bot_rows = row_ids < nz               # receive y=ny-1 under oy=-1
 
-    n_chunks = rows // chunk
+        ii = jax.lax.broadcasted_iota(jnp.int32, (cap, c3), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (cap, c3), 1)
+        diag_bump = jnp.where(jj == ii + cap, jnp.asarray(1e30, dtype),
+                              jnp.zeros((), dtype))[None]
 
-    def sweep(win, s, self_block, energy, virial):
-        """Pair blocks of the own plane against one neighbor window view.
-        win = [x, y, z, diam] arrays of shape (rows, 3C)."""
-        for ci in range(n_chunks):
-            r0 = ci * chunk
-            o = [a[r0:r0 + chunk, :][:, :, None] for a in own]
-            w = [a[r0:r0 + chunk, :][:, None, :] for a in win]
-            dx = o[0] - w[0]
-            dy = o[1] - w[1]
-            dz = o[2] - w[2]
-            r2 = dx * dx + dy * dy + dz * dz
-            if self_block:
-                r2 = r2 + diag_bump
-            mask = r2 < cutoff2
-            u, f_over_r = potential.evaluate_r2(r2, o[3], w[3])
-            u = jnp.where(mask, u, jnp.zeros_like(u))
-            f_over_r = jnp.where(mask, f_over_r, jnp.zeros_like(f_over_r))
+        # Zero the force accumulators.
+        fx_ref[0] = jnp.zeros((rows, cap), dtype)
+        fy_ref[0] = jnp.zeros((rows, cap), dtype)
+        fz_ref[0] = jnp.zeros((rows, cap), dtype)
 
-            scale = 0.5 if self_block else 1.0
-            energy = energy + scale * jnp.sum(u, dtype=jnp.float32)
-            virial = virial + scale * jnp.sum(f_over_r * r2,
-                                              dtype=jnp.float32)
-            fx_ref[0, r0:r0 + chunk, :] += jnp.sum(f_over_r * dx, axis=2)
-            fy_ref[0, r0:r0 + chunk, :] += jnp.sum(f_over_r * dy, axis=2)
-            fz_ref[0, r0:r0 + chunk, :] += jnp.sum(f_over_r * dz, axis=2)
-            if not self_block:
-                rx_ref[0, s, r0:r0 + chunk, :] = -jnp.sum(f_over_r * dx,
-                                                          axis=1)
-                ry_ref[0, s, r0:r0 + chunk, :] = -jnp.sum(f_over_r * dy,
-                                                          axis=1)
-                rz_ref[0, s, r0:r0 + chunk, :] = -jnp.sum(f_over_r * dz,
-                                                          axis=1)
-        return energy, virial
+        def sweep(s, self_block, energy, virial):
+            """Pair blocks of the own plane against the staged window view."""
 
-    # Self block: (0, 0), every pair seen from both sides.
-    energy, virial = sweep(w0, None, True, energy, virial)
+            def chunk_body(ci, carry):
+                energy, virial = carry
+                r0 = pl.multiple_of(ci * chunk, chunk)
+                o = [own_s[k, pl.ds(r0, chunk), :][:, :, None]
+                     for k in range(4)]
+                w = [win_s[k, pl.ds(r0, chunk), :][:, None, :]
+                     for k in range(4)]
+                dx = o[0] - w[0]
+                dy = o[1] - w[1]
+                dz = o[2] - w[2]
+                r2 = dx * dx + dy * dy + dz * dz
+                if self_block:
+                    r2 = r2 + diag_bump
+                mask = r2 < cutoff2
+                u, f_over_r = potential.evaluate_r2(r2, o[3], w[3])
+                u = jnp.where(mask, u, jnp.zeros_like(u))
+                f_over_r = jnp.where(mask, f_over_r, jnp.zeros_like(f_over_r))
 
-    # Half-stencil offsets.
-    for s, (ox, oy) in enumerate(HALF_OFFSETS):
-        base = w1 if ox == 1 else w0
-        if oy == 0:
-            view = base
-        else:
-            view = [pltpu.roll(a, (-oy * nz) % rows, 0) for a in base]
-            # Image shift for the wrapped rows of the y component.
-            if oy == 1:
-                view[1] = view[1] + jnp.where(top_rows, sx_ref[0, 0, 1],
+                scale = 0.5 if self_block else 1.0
+                energy = energy + scale * jnp.sum(u, dtype=jnp.float32)
+                virial = virial + scale * jnp.sum(f_over_r * r2,
+                                                  dtype=jnp.float32)
+                fx_ref[0, pl.ds(r0, chunk), :] += jnp.sum(f_over_r * dx,
+                                                          axis=2)
+                fy_ref[0, pl.ds(r0, chunk), :] += jnp.sum(f_over_r * dy,
+                                                          axis=2)
+                fz_ref[0, pl.ds(r0, chunk), :] += jnp.sum(f_over_r * dz,
+                                                          axis=2)
+                if not self_block:
+                    rx_ref[0, s, pl.ds(r0, chunk), :] = -jnp.sum(
+                        f_over_r * dx, axis=1)
+                    ry_ref[0, s, pl.ds(r0, chunk), :] = -jnp.sum(
+                        f_over_r * dy, axis=1)
+                    rz_ref[0, s, pl.ds(r0, chunk), :] = -jnp.sum(
+                        f_over_r * dz, axis=1)
+                return energy, virial
+
+            return jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                     (energy, virial))
+
+        # Self block: (0, 0), every pair seen from both sides.
+        for k in range(4):
+            win_s[k] = w0[k]
+        energy, virial = sweep(None, True, jnp.zeros((), jnp.float32),
+                               jnp.zeros((), jnp.float32))
+
+        # Half-stencil offsets.
+        for s, (ox, oy) in enumerate(HALF_OFFSETS):
+            base = w1 if ox == 1 else w0
+            for k in range(4):
+                if oy == 0:
+                    win_s[k] = base[k]
+                else:
+                    v = pltpu.roll(base[k], (-oy * nz) % rows, 0)
+                    if k == 1:  # image shift on wrapped rows, y component
+                        if oy == 1:
+                            v = v + jnp.where(top_rows, sx_ref[0, 0, 1],
                                               jnp.zeros((), dtype))
-            else:
-                view[1] = view[1] - jnp.where(bot_rows, sx_ref[0, 0, 1],
+                        else:
+                            v = v - jnp.where(bot_rows, sx_ref[0, 0, 1],
                                               jnp.zeros((), dtype))
-        energy, virial = sweep(view, s, False, energy, virial)
+                    win_s[k] = v
+            energy, virial = sweep(s, False, energy, virial)
 
-    e_ref[0, 0, 0] = energy
-    w_ref[0, 0, 0] = virial
+        e_ref[0, 0, 0] = energy
+        w_ref[0, 0, 0] = virial
+
+    pl.run_scoped(
+        body,
+        own_s=pltpu.VMEM((4, rows, cap), dtype),
+        win_s=pltpu.VMEM((4, rows, c3), dtype),
+    )
 
 
 @struct.dataclass

@@ -231,3 +231,44 @@ def test_kahan_compensation_improves_f32_drift():
 
     d_comp = drift_of(True)
     assert d_comp < 2e-4, f"f32 compensated drift too large: {d_comp}"
+
+
+def test_mixed_precision_nve():
+    """f64 state + f32 forces (force_dtype): trajectory stays within the f32
+    force-error envelope of the all-f64 run, and energy is conserved far
+    better than all-f32 (the gate mode: f32-speed sweep, f64 integration)."""
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    n = 256
+    state = make_fluid_state(n=n, rho=0.5, temp=1.0, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = PseudoHS()
+    params = Parameters(density=0.5, n_particles=n, dt=0.001, potential=pot)
+    engine = CellGridEngine.create(pot, 1.5, 0.3,
+                                   np.asarray(state.unitcell), n)
+    s64 = _with_forces(state, engine)
+
+    # Mixed state: the engine's neighbor buffers live at force dtype.
+    e, w, f, nbrs = engine_forces(engine, state.positions, state.diameters,
+                                  state.unitcell, state.unitcell_inv, None,
+                                  force_dtype=jnp.float32)
+    smx = state.replace(forces=f.astype(jnp.float64),
+                        energy=e.astype(jnp.float64),
+                        virial=w.astype(jnp.float64), nbrs=nbrs)
+
+    step64 = jax.jit(make_step(params, NVE(), engine))
+    stepmx = jax.jit(make_step(params, NVE(), engine,
+                               force_dtype=jnp.float32))
+    for _ in range(100):
+        s64 = step64(s64)
+        smx = stepmx(smx)
+
+    assert np.all(np.isfinite(np.asarray(smx.positions)))
+    np.testing.assert_allclose(np.asarray(smx.positions),
+                               np.asarray(s64.positions),
+                               rtol=0, atol=5e-4)
+    # total energy drift of the mixed run vs its own start
+    def etot(s):
+        kin = 0.5 * float(jnp.sum(s.velocities ** 2))
+        return float(s.energy) + kin
+    np.testing.assert_allclose(etot(smx), etot(s64), rtol=1e-4)
