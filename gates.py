@@ -104,9 +104,17 @@ if __name__ == "__main__":
     dt = float(sys.argv[1]) if len(sys.argv) > 1 else 0.001
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     kind = sys.argv[3] if len(sys.argv) > 3 else "f32"
-    if kind in ("f64", "mixed"):
+    if kind in ("f64", "mixed", "f32+f64f"):
         jax.config.update("jax_enable_x64", True)
+    # "f32+f64f": f32 state (fast compensated integration + delta wrap) with
+    # the pair sweep in f64 — the f32->f64 cast is exact, so forces are
+    # near-exact gradients of the true state and the f32 force-rounding
+    # random walk (the dominant f32 NVE drift source) disappears, while the
+    # O(N) integration stays at f32 speed.
+    # "mixed" (f64 state + f32 forces) is kept as a documented NEGATIVE
+    # result: forces evaluated at f32-rounded copies of f64 positions inject
+    # delta_x * |f'| noise and drift WORSE than pure f32.
     dtype = {"f32": jnp.float32, "f64": jnp.float64,
-             "mixed": jnp.float64}[kind]
-    force_dtype = jnp.float32 if kind == "mixed" else None
+             "mixed": jnp.float64, "f32+f64f": jnp.float32}[kind]
+    force_dtype = {"mixed": jnp.float32, "f32+f64f": jnp.float64}.get(kind)
     main(dt=dt, nve_steps=steps, dtype=dtype, force_dtype=force_dtype)

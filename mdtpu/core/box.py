@@ -77,6 +77,29 @@ def wrap_positions(positions, images, cell, cell_inv):
     return wrapped, new_images
 
 
+def wrap_positions_compensated(positions, comp, images, cell, cell_inv):
+    """Wrap via a Kahan-compensated delta instead of recomputing coordinates.
+
+    The plain wrap reconstructs x = cell @ (frac - floor(frac)), re-rounding
+    every coordinate to ulp(L) each step — a ~L*2^-24 noise injection that
+    dominates f32 NVE energy drift (the compensation buffer cannot see it
+    because the value is replaced, not incremented). Here the wrap is applied
+    as x += (-cell @ k) with integer crossing counts k through the two-sum,
+    so the exact residual lands in the compensation buffer: non-crossing
+    particles are untouched bit-for-bit, crossing ones lose nothing. For
+    orthorhombic cells and |k| <= 1 the delta (-k * L) is exact in f32.
+
+    Returns (positions, comp, images).
+    """
+    from mdtpu.utils.math import kahan_add
+
+    frac = _mm(positions, cell_inv.T)
+    n_cross = jnp.floor(frac)
+    delta = -_mm(n_cross, cell.T)
+    positions, comp = kahan_add(positions, comp, delta)
+    return positions, comp, images + n_cross.astype(images.dtype)
+
+
 def minimum_image(dr, cell, cell_inv):
     """Apply the minimum-image convention to displacement vectors.
 

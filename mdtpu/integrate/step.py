@@ -24,7 +24,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from mdtpu.core.box import wrap_positions
+from mdtpu.core.box import wrap_positions, wrap_positions_compensated
 from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
 from mdtpu.integrate.thermostat import bussi_rescale, compute_temperature
 from mdtpu.utils.math import kahan_add
@@ -107,7 +107,13 @@ def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
         # First half-kick + drift (/root/reference/src/integrate.jl:8-21).
         v, vc = _add(state.velocities, state.vel_comp, state.forces * half, compensated)
         x, xc = _add(state.positions, state.pos_comp, v * dt, compensated)
-        x, images = wrap_positions(x, state.images, cell, cell_inv)
+        if compensated:
+            # Delta-form wrap: avoids re-rounding every coordinate per step
+            # (the dominant f32 NVE drift source — see box.py).
+            x, xc, images = wrap_positions_compensated(x, xc, state.images,
+                                                       cell, cell_inv)
+        else:
+            x, images = wrap_positions(x, state.images, cell, cell_inv)
 
         # Force evaluation (the analog of map_pairwise!).
         energy, virial, forces, nbrs = engine_forces(
@@ -189,7 +195,11 @@ def make_brownian_step(params: Parameters, ensemble: Brownian, engine,
 
         dx = forces * (dt / ktemp) + noise * sigma
         x, xc = _add(state.positions, state.pos_comp, dx, compensated)
-        x, images = wrap_positions(x, state.images, cell, cell_inv)
+        if compensated:
+            x, xc, images = wrap_positions_compensated(x, xc, state.images,
+                                                       cell, cell_inv)
+        else:
+            x, images = wrap_positions(x, state.images, cell, cell_inv)
 
         # Virial sampled every 10 steps for the averaged Brownian pressure
         # (/root/reference/src/simulation.jl:253-256).

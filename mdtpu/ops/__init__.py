@@ -27,8 +27,10 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     """Pick the best engine for the system.
 
     prefer: None (auto) | "naive" | "neighbor" | "cellgrid".
-    Auto: naive for small N or triclinic cells; on TPU the gather-free
-    CellGridEngine; on CPU the (N, K) NeighborListEngine.
+    Auto: naive for small N; on TPU the gather-free CellGridEngine (which
+    handles triclinic cells via fractional binning + ghost cell-vector
+    shifts); on CPU the (N, K) NeighborListEngine for orthorhombic boxes and
+    the cell grid for tilted ones.
     """
     from mdtpu.core.box import is_orthorhombic
     from mdtpu.ops.cell_grid import CellGridEngine
@@ -42,8 +44,11 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
         return NaivePairEngine(potential=potential, cutoff=cutoff)
 
     ortho = unitcell is not None and is_orthorhombic(unitcell)
-    grid_ok = ortho and _grid_for_box(np.asarray(unitcell), float(cutoff),
-                                      float(skin)) is not None
+    dim = None if unitcell is None else np.asarray(unitcell).shape[0]
+    grid_ok = (unitcell is not None
+               and (ortho or dim == 3)  # 2D cell grid is orthorhombic-only
+               and _grid_for_box(np.asarray(unitcell), float(cutoff),
+                                 float(skin)) is not None)
     if prefer is None and (n_particles is None or n_particles <= _NAIVE_MAX_N):
         return NaivePairEngine(potential=potential, cutoff=cutoff)
     if not grid_ok:
@@ -58,7 +63,7 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
             potential, float(cutoff), float(skin),
             np.asarray(unitcell), int(n_particles))
 
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and ortho:
         return NeighborListEngine.create(
             potential=potential, cutoff=float(cutoff), skin=float(skin),
             unitcell=np.asarray(unitcell), n_particles=int(n_particles))

@@ -45,24 +45,26 @@ _FAR_PAD_BASE = 1.0e6
 _FAR_PAD_SPACING = 4.0
 
 
-def refresh_far_grids(positions, nbrs, grid, cap, lengths):
+def refresh_far_grids(positions, nbrs, grid, cap, cell, cell_inv):
     """Scatter current positions into the sorted cell layout over the far-pad
     base. Coordinates are stored as ref + MIC(pos - ref) so every slot sits
     within skin/2 of its home cell (exact ghost-window image shifts); vacant
     slots hold mutually-distant far coordinates (no occupancy masks).
+    General (triclinic) cells: the MIC is two (N, d) matmuls.
     Returns per-component grids of shape grid + (cap,)."""
+    from mdtpu.core.box import minimum_image
+
     dim = positions.shape[1]
     dtype = positions.dtype
     n_cells = int(np.prod(grid))
     pad = n_cells * cap + 1
-    pos_t = positions.T
-    ref_t = nbrs.ref_positions.T
+    eff = nbrs.ref_positions + minimum_image(
+        positions - nbrs.ref_positions, cell, cell_inv)
+    eff_t = eff.T
     far = _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(pad, dtype=dtype)
     grids = []
     for k in range(dim):
-        dk = pos_t[k] - ref_t[k]
-        dk = dk - lengths[k] * jnp.round(dk / lengths[k])
-        g = far.at[nbrs.addr].set(ref_t[k] + dk)[:-1]
+        g = far.at[nbrs.addr].set(eff_t[k])[:-1]
         grids.append(g.reshape(tuple(grid) + (cap,)))
     return grids
 
@@ -166,9 +168,9 @@ class CellGridEngine:
 
     # ---------------------------------------------------------------- rebuild
     def needs_rebuild(self, positions, nbrs: CellGridState, cell, cell_inv):
-        lengths = jnp.diag(cell)
-        disp = positions - nbrs.ref_positions
-        disp = disp - lengths * jnp.round(disp / lengths)
+        from mdtpu.core.box import minimum_image
+
+        disp = minimum_image(positions - nbrs.ref_positions, cell, cell_inv)
         half_skin = 0.5 * self.skin
         return jnp.any(jnp.sum(disp * disp, axis=-1) > half_skin * half_skin)
 
@@ -212,15 +214,18 @@ class CellGridEngine:
         nx, ny, nz = self.grid
         n_cells = nx * ny * nz
         pad = n_cells * cap + 1
-        lengths = [cell[k, k] for k in range(dim)]
 
-        grids = refresh_far_grids(positions, nbrs, self.grid, cap, lengths)
+        grids = refresh_far_grids(positions, nbrs, self.grid, cap, cell,
+                                  cell_inv)
         diam = nbrs.sorted_diam.reshape(nx, ny, nz, cap)
 
         cutoff2 = jnp.asarray(self.cutoff * self.cutoff, dtype)
 
-        win = [ghost_z_window(grids[k], lengths[k] if k == 2 else None)
-               for k in range(dim)]
+        # Ghost image shifts are full cell vectors (columns of the cell), so
+        # tilted (triclinic) cells work identically: wrapping across grid
+        # axis a shifts component k by cell[k, a] (zero off-diagonals for
+        # orthorhombic boxes — the adds cost nothing on the small windows).
+        win = [ghost_z_window(grids[k], cell[k, 2]) for k in range(dim)]
         win_diam = ghost_z_window(diam)
 
         own = [g.reshape(n_cells, cap, 1) for g in grids]
@@ -278,9 +283,7 @@ class CellGridEngine:
 
         # In-plane Newton half stencil.
         for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
-            wc = [plane_shift(win[k], ox, oy,
-                              lengths[0] if k == 0 else None,
-                              lengths[1] if k == 1 else None)
+            wc = [plane_shift(win[k], ox, oy, cell[k, 0], cell[k, 1])
                   for k in range(dim)]
             wd = plane_shift(win_diam, ox, oy, None, None)
             u, f_over_r, r2s, d_comps = pair_block(wc, wd, False)

@@ -56,10 +56,15 @@ def estimate_capacities(n_particles: int, unitcell, cutoff: float, skin: float,
 
 
 def _grid_for_box(unitcell, cutoff: float, skin: float):
-    """Cells per axis: floor(L / (cutoff + skin)); None if the box is too
-    small for a 3-cell-wide grid on any axis (caller falls back to naive)."""
-    lengths = np.diag(np.asarray(unitcell, dtype=np.float64))
-    grid = tuple(int(x) for x in np.floor(lengths / (cutoff + skin)))
+    """Cells per axis: floor(h_i / (cutoff + skin)) where h_i is the
+    perpendicular distance between the cell's lattice planes along axis i
+    (h_i = 1 / ||row_i(cell^-1)||; equals L_i for orthorhombic cells, shrinks
+    with tilt). None if the box is too small for a 3-cell-wide grid on any
+    axis (caller falls back to naive)."""
+    cell = np.asarray(unitcell, dtype=np.float64)
+    cell_inv = np.linalg.inv(cell)
+    heights = 1.0 / np.linalg.norm(cell_inv, axis=1)
+    grid = tuple(int(x) for x in np.floor(heights / (cutoff + skin)))
     if any(g < 3 for g in grid):
         return None
     return grid

@@ -198,21 +198,26 @@ class PallasPlaneEngine(CellGridEngine):
     """
 
     interpret: bool = struct.field(pytree_node=False, default=False)
+    orthorhombic: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, potential, cutoff, skin, unitcell, n_particles,
                cell_capacity=None, interpret=False):
+        from mdtpu.core.box import is_orthorhombic
+
         base = CellGridEngine.create(potential, cutoff, skin, unitcell,
                                      n_particles, cell_capacity)
         return cls(potential=base.potential, cutoff=base.cutoff,
                    skin=base.skin, grid=base.grid,
-                   cell_capacity=base.cell_capacity, interpret=interpret)
+                   cell_capacity=base.cell_capacity, interpret=interpret,
+                   orthorhombic=is_orthorhombic(unitcell))
 
     def compute(self, positions, diameters, cell, cell_inv,
                 nbrs: CellGridState):
         n, dim = positions.shape
         dtype = positions.dtype
-        if dim != 3 or dtype != jnp.float32:
+        if dim != 3 or dtype != jnp.float32 or not self.orthorhombic:
+            # f64 / 2D / triclinic: the XLA z-window path handles them all.
             return CellGridEngine.compute(self, positions, diameters, cell,
                                           cell_inv, nbrs)
         cap = self.cell_capacity
@@ -221,7 +226,8 @@ class PallasPlaneEngine(CellGridEngine):
         c3 = 3 * cap
         lengths = [cell[k, k] for k in range(3)]
 
-        grids = refresh_far_grids(positions, nbrs, self.grid, cap, lengths)
+        grids = refresh_far_grids(positions, nbrs, self.grid, cap, cell,
+                                  cell_inv)
         diam = nbrs.sorted_diam.reshape(nx, ny, nz, cap)
         win = [ghost_z_window(grids[k], lengths[2] if k == 2 else None)
                .reshape(nx, rows, c3) for k in range(3)]

@@ -199,19 +199,16 @@ class HaloCellGridEngine:
         # The far base is offset per device (non-overlapping ranges): a ghost
         # plane's vacant slot must never coincide with a local vacant slot,
         # or their r2 = 0 pair turns into inf - inf = NaN.
-        pos_t = positions.T
-        ref_t = nbrs.ref_positions.T
+        from mdtpu.core.box import minimum_image
+
+        disp = minimum_image(positions - nbrs.ref_positions, cell, cell_inv)
+        eff_t = (nbrs.ref_positions + disp).T
+        drift2 = jnp.sum(disp * disp, axis=-1)
         stride = _FAR_PAD_SPACING * (pad + 1)
         far = (_FAR_PAD_BASE + p.astype(dtype) * stride
                + _FAR_PAD_SPACING * jnp.arange(pad, dtype=dtype))
-        grids = []
-        drift2 = jnp.zeros((n_loc,), dtype)
-        for k in range(dim):
-            dk = pos_t[k] - ref_t[k]
-            dk = dk - lengths[k] * jnp.round(dk / lengths[k])
-            drift2 = drift2 + dk * dk
-            g = far.at[nbrs.addr].set(ref_t[k] + dk)[:-1]
-            grids.append(g.reshape(mx, ny, nz, cap))
+        grids = [far.at[nbrs.addr].set(eff_t[k])[:-1].reshape(mx, ny, nz, cap)
+                 for k in range(dim)]
         # Pad rows (trash address) carry meaningless drift — exclude them.
         drift2 = jnp.where(nbrs.addr >= n_cells_loc * cap,
                            jnp.zeros_like(drift2), drift2)
@@ -219,8 +216,9 @@ class HaloCellGridEngine:
         stale = jnp.any(drift2 > half_skin * half_skin)
         diam = nbrs.sorted_diam.reshape(mx, ny, nz, cap)
 
-        win = [ghost_z_window(grids[k], lengths[2] if k == 2 else None)
-               for k in range(dim)]
+        # Ghost image shifts are full cell vectors (triclinic-safe; zeros on
+        # the off-diagonals for orthorhombic boxes).
+        win = [ghost_z_window(grids[k], cell[k, 2]) for k in range(dim)]
         win.append(ghost_z_window(diam))
         win = [w.reshape(mx, ny, nz, c3) for w in win]
 
@@ -230,10 +228,10 @@ class HaloCellGridEngine:
         ghosts = []
         for k, w in enumerate(win):
             g = jax.lax.ppermute(w[:1], axis, fwd)  # (1, ny, nz, 3C)
-            if k == 0:
+            if k < dim:
                 # Periodic image: the ghost received by the LAST device is
-                # global plane 0 — shift its x coordinates by +Lx.
-                g = g + jnp.where(p == n_sh - 1, lengths[0],
+                # global plane 0 — shift it by the x cell vector.
+                g = g + jnp.where(p == n_sh - 1, cell[k, 0],
                                   jnp.zeros((), dtype))
             ghosts.append(g)
         ext = [jnp.concatenate([w, g], axis=0) for w, g in zip(win, ghosts)]
@@ -269,10 +267,10 @@ class HaloCellGridEngine:
             for k in range(dim + 1):
                 w = ext[k][ox:ox + mx] if ox else win[k]
                 if oy == 1:
-                    first = w[:, :1] + lengths[1] if k == 1 else w[:, :1]
+                    first = w[:, :1] + cell[k, 1] if k < dim else w[:, :1]
                     w = jnp.concatenate([w[:, 1:], first], axis=1)
                 elif oy == -1:
-                    last = w[:, -1:] - lengths[1] if k == 1 else w[:, -1:]
+                    last = w[:, -1:] - cell[k, 1] if k < dim else w[:, -1:]
                     w = jnp.concatenate([last, w[:, :-1]], axis=1)
                 out.append(w)
             return out[:dim], out[dim]

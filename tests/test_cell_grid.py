@@ -113,3 +113,44 @@ def test_cell_grid_in_fused_nvt_loop():
     assert int(out.step) == 50
     assert abs(float(out.temperature) - 1.0) < 0.5
     assert bool(jnp.all(jnp.isfinite(out.positions)))
+
+
+def test_cell_grid_triclinic_matches_naive():
+    """Tilted (triclinic) cells run on the fast path: fractional binning plus
+    full cell-vector ghost shifts. Must match the naive oracle (which does
+    general matmul MIC) exactly."""
+    key = jax.random.PRNGKey(31)
+    n = 4096
+    pot = PseudoHS()
+    # A well-tilted 3D cell, large enough for a >=3^3 grid of plane
+    # thicknesses >= cutoff + skin.
+    L = 24.0
+    cell = jnp.asarray([[L, 3.0, 2.0],
+                        [0.0, L, 4.0],
+                        [0.0, 0.0, L]], jnp.float64)
+    cell_inv = jnp.linalg.inv(cell)
+    frac = jax.random.uniform(key, (n, 3), dtype=jnp.float64)
+    pos = frac @ cell.T
+    diam = jnp.ones(n, jnp.float64)
+
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
+    assert all(g >= 3 for g in eng.grid)
+    nbrs = eng.allocate(pos, diam, cell, cell_inv)
+    assert not bool(nbrs.overflow)
+    e1, w1, f1, _ = eng.compute(pos, diam, cell, cell_inv, nbrs)
+
+    naive = NaivePairEngine(potential=pot, cutoff=1.5)
+    e0, w0, f0, _ = naive.compute(pos, diam, cell, cell_inv, ())
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-9)
+    np.testing.assert_allclose(float(w1), float(w0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_select_engine_triclinic_uses_cell_grid():
+    from mdtpu.ops import select_engine
+
+    L = 24.0
+    cell = np.asarray([[L, 3.0, 0.0], [0.0, L, 2.0], [0.0, 0.0, L]])
+    eng = select_engine(PseudoHS(), 1.5, unitcell=cell, n_particles=8192)
+    assert isinstance(eng, CellGridEngine)
