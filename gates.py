@@ -20,10 +20,12 @@ import numpy as np
 
 
 def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
-         sample_every=2_000, dtype=None, force_dtype=None):
+         sample_every=2_000, dtype=None, force_dtype=None,
+         engine_kind="cell"):
     from mdtpu.core.types import NVE, NVT, Parameters
     from mdtpu.integrate.step import make_step, engine_forces
     from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.ops.naive import NaivePairEngine
     from mdtpu.potentials.pseudo_hs import PseudoHS
     from mdtpu.sim.initialization import (
         build_state_from_arrays, initialize_velocities, lattice_positions)
@@ -43,7 +45,12 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
 
     pot = PseudoHS()
     params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
-    engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
+    if engine_kind == "naive":
+        # At gate size (N=1024) the dense all-pairs block can beat the cell
+        # grid: fewer padded slots, no rebuild/refresh machinery.
+        engine = NaivePairEngine(potential=pot, cutoff=1.5)
+    else:
+        engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
 
     e, w, f, nbrs = engine_forces(engine, state.positions, state.diameters,
                                   state.unitcell, state.unitcell_inv, None,
@@ -117,4 +124,6 @@ if __name__ == "__main__":
     dtype = {"f32": jnp.float32, "f64": jnp.float64,
              "mixed": jnp.float64, "f32+f64f": jnp.float32}[kind]
     force_dtype = {"mixed": jnp.float32, "f32+f64f": jnp.float64}.get(kind)
-    main(dt=dt, nve_steps=steps, dtype=dtype, force_dtype=force_dtype)
+    engine_kind = sys.argv[4] if len(sys.argv) > 4 else "cell"
+    main(dt=dt, nve_steps=steps, dtype=dtype, force_dtype=force_dtype,
+         engine_kind=engine_kind)

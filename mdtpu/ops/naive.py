@@ -75,4 +75,6 @@ class NaivePairEngine:
         return energy, virial, forces, nbrs
 
     def needs_rebuild(self, positions, nbrs, cell, cell_inv):
-        return jnp.asarray(False)
+        # Static False: stateless engine, engine_forces skips the rebuild
+        # cond entirely.
+        return False

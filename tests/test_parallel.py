@@ -207,3 +207,40 @@ def test_halo_reshard_roundtrip(mesh):
         v = valid[rows]
         ix = np.clip((pos[rows][v][:, 0] / L * nx).astype(int), 0, nx - 1)
         assert ((ix // mx) == p).all()
+
+
+def test_run_simulation_sharded(mesh, tmp_path):
+    """End-to-end sharded driver: thermo output, periodic reshard, physics
+    matching the single-device driver's thermo rows."""
+    from mdtpu.parallel.driver import run_simulation_sharded, valid_rows
+    from mdtpu.parallel.halo import HaloCellGridEngine
+    from mdtpu.sim.driver import run_simulation
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    cell_np = np.asarray(state.unitcell)
+
+    ref_eng = CellGridEngine.create(pot, 1.5, 0.3, cell_np, n)
+    run_simulation(state, params, NVE(), total_steps=30, frequency=10,
+                   pathname=str(tmp_path / "ref"), engine=ref_eng)
+
+    halo = HaloCellGridEngine.create(pot, 1.5, 0.3, cell_np, n, n_shards=8)
+    final = run_simulation_sharded(
+        state, params, NVE(), total_steps=30, frequency=10,
+        pathname=str(tmp_path / "sh"), mesh=mesh, engine=halo,
+        reshard_every=10)
+
+    ref_rows = open(tmp_path / "ref" / "thermo.txt").read().splitlines()[1:]
+    sh_rows = open(tmp_path / "sh" / "thermo.txt").read().splitlines()[1:]
+    assert len(sh_rows) == len(ref_rows) == 3
+    for a, b in zip(sh_rows, ref_rows):
+        fa, fb = [float(x) for x in a.split()], [float(x) for x in b.split()]
+        assert fa[0] == fb[0]
+        np.testing.assert_allclose(fa[1:], fb[1:], rtol=2e-5, atol=2e-5)
+
+    mask = valid_rows(final, halo)
+    assert mask.sum() == n
