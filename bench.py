@@ -41,7 +41,8 @@ import numpy as np
 JULIA_BASELINE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring
 
 
-def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
+def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
+          cell_capacity=29):
     from mdtpu.core.types import NVT, Parameters
     from mdtpu.integrate.step import make_step
     from mdtpu.ops.cell_grid import CellGridEngine
@@ -68,22 +69,35 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
     # Tight cell capacity (mean occupancy ~19.4 + ~2.2 sigma); the overflow
     # flag guards against fluctuations.
     engine = CellGridEngine.create(pot, 2.5, 0.3, np.asarray(cell), n,
-                                   cell_capacity=29)
+                                   cell_capacity=cell_capacity)
 
-    nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
-                           state.unitcell_inv)
-    e, w, f, nbrs = engine.compute(state.positions, state.diameters,
-                                   state.unitcell, state.unitcell_inv, nbrs)
-    state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+    if slot:
+        # Slot-space hot loop: no per-step scatter/gather (see
+        # mdtpu/integrate/slot_step.py).
+        from mdtpu.integrate.slot_step import make_slot_step, slotify
 
-    step = make_step(params, NVT(temp, 0.4), engine)
+        state = slotify(state, engine)
+        e, w, f, nbrs = engine.compute_slots(
+            state.positions, state.diameters, state.unitcell,
+            state.unitcell_inv, state.nbrs)
+        state = state.replace(forces=f, energy=e, virial=w, nbrs=nbrs)
+        step = make_slot_step(params, NVT(temp, 0.4), engine)
+    else:
+        nbrs = engine.allocate(state.positions, state.diameters,
+                               state.unitcell, state.unitcell_inv)
+        e, w, f, nbrs = engine.compute(state.positions, state.diameters,
+                                       state.unitcell, state.unitcell_inv,
+                                       nbrs)
+        state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+        step = make_step(params, NVT(temp, 0.4), engine)
+
     advance = jax.jit(
         lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
     return state, advance
 
 
-def main():
-    state, advance = build()
+def main(slot=True):
+    state, advance = build(slot=slot)
     # Warmup/compile + melt the lattice into a fluid.
     state = advance(state, 200)
     jax.block_until_ready(state)
@@ -113,4 +127,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(slot="--no-slot" not in sys.argv)

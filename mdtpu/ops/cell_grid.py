@@ -208,16 +208,29 @@ class CellGridEngine:
           surviving r2 are bounded away from 0, the r2_safe select guarding
           the reciprocal is dropped too.
         """
-        n, dim = positions.shape
-        dtype = positions.dtype
+        dim = positions.shape[1]
+        cap = self.cell_capacity
+        grids = refresh_far_grids(positions, nbrs, self.grid, cap, cell,
+                                  cell_inv)
+        diam = nbrs.sorted_diam.reshape(self.grid + (cap,))
+        energy, virial, f_own = self._zwindow_sweep(grids, diam, cell)
+        # Back to particle order: one (N,) gather per component.
+        forces = jnp.stack(
+            [f_own[k].reshape(-1)[nbrs.addr] for k in range(dim)], axis=-1)
+        return energy, virial, forces, nbrs
+
+    def _zwindow_sweep(self, grids, diam, cell):
+        """Ghosted z-window half-stencil sweep over slot grids.
+
+        grids: per-component (nx, ny, nz, C) slot coordinates (far-pad
+        vacants); diam likewise. Returns (energy, virial, f_own) with f_own
+        a list of per-component (n_cells, C) slot forces.
+        """
+        dim = len(grids)
+        dtype = grids[0].dtype
         cap = self.cell_capacity
         nx, ny, nz = self.grid
         n_cells = nx * ny * nz
-        pad = n_cells * cap + 1
-
-        grids = refresh_far_grids(positions, nbrs, self.grid, cap, cell,
-                                  cell_inv)
-        diam = nbrs.sorted_diam.reshape(nx, ny, nz, cap)
 
         cutoff2 = jnp.asarray(self.cutoff * self.cutoff, dtype)
 
@@ -298,8 +311,31 @@ class CellGridEngine:
                 r = jnp.roll(r, (ox, oy), axis=(0, 1))
                 f_own = f_own.at[k].add(r.reshape(n_cells, cap))
 
-        forces = jnp.stack(
-            [f_own[k].reshape(-1)[nbrs.addr] for k in range(dim)], axis=-1)
+        return energy, virial, [f_own[k] for k in range(dim)]
+
+    def compute_slots(self, positions, diameters, cell, cell_inv,
+                      nbrs: CellGridState):
+        """Slot-space sweep: positions/diameters are ALREADY in cell-sorted
+        slot order ((n_cells * C, d) with far-pad vacants), so there is no
+        per-step scatter into the grid and no gather back — on TPU those two
+        irregular memory ops cost more than the entire pair computation
+        (measured 2.4 of 3.6 ms at the N=65k bench). Used by
+        mdtpu.integrate.slot_step, which keeps the whole simulation state in
+        slot order and re-bins only at skin rebuilds."""
+        from mdtpu.core.box import minimum_image
+
+        dim = positions.shape[1]
+        cap = self.cell_capacity
+        shape = tuple(self.grid) + (cap,)
+        # ref + MIC keeps boundary-crossing drift next to its home cell
+        # (vacant slots: pos == ref, so eff stays at the far-pad value).
+        eff = nbrs.ref_positions + minimum_image(
+            positions - nbrs.ref_positions, cell, cell_inv)
+        eff_t = eff.T
+        grids = [eff_t[k].reshape(shape) for k in range(dim)]
+        diam = diameters.reshape(shape)
+        energy, virial, f_own = self._zwindow_sweep(grids, diam, cell)
+        forces = jnp.stack([f.reshape(-1) for f in f_own], axis=-1)
         return energy, virial, forces, nbrs
 
     def _compute_rolls(self, positions, diameters, cell, cell_inv,

@@ -1,0 +1,81 @@
+"""Slot-space hot loop vs the ordinary particle-order step: identical
+physics, including across in-loop rebins (small skin forces several)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdtpu.core.types import NVE, NVT, Brownian, Parameters
+from mdtpu.integrate.slot_step import (
+    make_slot_step,
+    slotify,
+    unslotify_arrays,
+)
+from mdtpu.integrate.step import make_step
+from mdtpu.ops.cell_grid import CellGridEngine
+from mdtpu.potentials.lennard_jones import LennardJones
+from tests.test_dynamics import _with_forces, make_fluid_state
+
+
+def _setup(n=768, rho=0.5, skin=0.15):
+    state = make_fluid_state(n=n, rho=rho, temp=1.0, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    eng = CellGridEngine.create(pot, 1.5, skin, np.asarray(state.unitcell), n)
+    state = _with_forces(state, eng)
+    return state, params, eng
+
+
+def _slot_with_forces(state, eng):
+    slot = slotify(state, eng)
+    e, w, f, nbrs = eng.compute_slots(slot.positions, slot.diameters,
+                                      slot.unitcell, slot.unitcell_inv,
+                                      slot.nbrs)
+    return slot.replace(forces=f, energy=e, virial=w, nbrs=nbrs)
+
+
+@pytest.mark.parametrize("ensemble", [NVE(), NVT(1.0, 0.2)])
+def test_slot_step_matches_particle_step(ensemble):
+    state, params, eng = _setup()
+    ref_step = jax.jit(make_step(params, ensemble, eng))
+    slot_step = jax.jit(make_slot_step(params, ensemble, eng))
+    sl = _slot_with_forces(state, eng)
+
+    ref = state
+    for _ in range(150):  # skin 0.15 forces several rebins along the way
+        ref = ref_step(ref)
+        sl = slot_step(sl)
+
+    assert not bool(sl.nbrs.overflow)
+    np.testing.assert_allclose(float(sl.energy), float(ref.energy),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(sl.temperature), float(ref.temperature),
+                               rtol=1e-9)
+    pos_s, vel_s, _, _ = unslotify_arrays(sl)
+    pos_r = np.asarray(ref.positions)
+    o_s, o_r = np.lexsort(pos_s.T), np.lexsort(pos_r.T)
+    np.testing.assert_allclose(pos_s[o_s], pos_r[o_r], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(vel_s[o_s], np.asarray(ref.velocities)[o_r],
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_slot_step_brownian_runs_and_pads_stay_far():
+    state, params, eng = _setup()
+    # Overdamped dynamics needs a much smaller dt than inertial MD for a
+    # steep potential (same choice as the particle-order Brownian tests).
+    params = params.replace(dt=1e-5)
+    slot_step = jax.jit(make_slot_step(params, Brownian(1.0), eng))
+    sl = _slot_with_forces(state, eng)
+    n_real = int(np.asarray(sl.nbrs.occupied).sum())
+    for _ in range(30):
+        sl = slot_step(sl)
+    assert int(sl.step) == 30
+    assert int(sl.nprom) == 3
+    occ = np.asarray(sl.nbrs.occupied)
+    pos = np.asarray(sl.positions)
+    # vacant rows never moved or wrapped into the box
+    assert (pos[~occ][:, 0] > 1e5).all()
+    assert occ.sum() == n_real
+    assert np.all(np.isfinite(pos[occ]))
