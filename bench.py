@@ -42,7 +42,11 @@ JULIA_BASELINE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring
 
 
 def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
-          cell_capacity=29):
+          cell_capacity=30):
+    # capacity 30: occupancy peaks measured at 25-29 over long melted runs,
+    # so 30 leaves margin; anything in 25..32 pads to the same 32 sublanes
+    # in the pair blocks, and the slot count (integrator rows) scales with
+    # the capacity, so the smallest safe value wins.
     from mdtpu.core.types import NVT, Parameters
     from mdtpu.integrate.step import make_step
     from mdtpu.ops.cell_grid import CellGridEngine
@@ -74,13 +78,10 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
     if slot:
         # Slot-space hot loop: no per-step scatter/gather (see
         # mdtpu/integrate/slot_step.py).
-        from mdtpu.integrate.slot_step import make_slot_step, slotify
+        from mdtpu.integrate.slot_step import (make_slot_step, slot_forces,
+                                               slotify)
 
-        state = slotify(state, engine)
-        e, w, f, nbrs = engine.compute_slots(
-            state.positions, state.diameters, state.unitcell,
-            state.unitcell_inv, state.nbrs)
-        state = state.replace(forces=f, energy=e, virial=w, nbrs=nbrs)
+        state = slot_forces(slotify(state, engine), engine)
         step = make_slot_step(params, NVT(temp, 0.4), engine)
     else:
         nbrs = engine.allocate(state.positions, state.diameters,

@@ -37,18 +37,27 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
     params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
     try:
         engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
-        kind = f"cellgrid grid={engine.grid} C={engine.cell_capacity}"
+        kind = f"slot-cellgrid grid={engine.grid} C={engine.cell_capacity}"
+        slot = True
     except ValueError:
         engine = NaivePairEngine(potential=pot, cutoff=1.5)
         kind = "naive"
+        slot = False
 
-    nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
-                           state.unitcell_inv)
-    e, w, f, nbrs = engine.compute(state.positions, state.diameters,
-                                   state.unitcell, state.unitcell_inv, nbrs)
-    state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+    if slot:
+        from mdtpu.integrate.slot_step import (make_slot_step, slot_forces,
+                                               slotify)
 
-    step = make_step(params, NVT(temp, 100 * dt), engine)
+        state = slot_forces(slotify(state, engine), engine)
+        step = make_slot_step(params, NVT(temp, 100 * dt), engine)
+    else:
+        nbrs = engine.allocate(state.positions, state.diameters,
+                               state.unitcell, state.unitcell_inv)
+        e, w, f, nbrs = engine.compute(state.positions, state.diameters,
+                                       state.unitcell, state.unitcell_inv,
+                                       nbrs)
+        state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+        step = make_step(params, NVT(temp, 100 * dt), engine)
     advance = jax.jit(
         lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
     state = advance(state, 100)  # warm + melt

@@ -52,19 +52,30 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
     else:
         engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
 
-    e, w, f, nbrs = engine_forces(engine, state.positions, state.diameters,
-                                  state.unitcell, state.unitcell_inv, None,
-                                  force_dtype=force_dtype)
-    state = state.replace(nbrs=nbrs, forces=f.astype(dtype),
-                          energy=e.astype(dtype), virial=w.astype(dtype))
+    if engine_kind == "naive":
+        e, w, f, nbrs = engine_forces(engine, state.positions,
+                                      state.diameters, state.unitcell,
+                                      state.unitcell_inv, None,
+                                      force_dtype=force_dtype)
+        state = state.replace(nbrs=nbrs, forces=f.astype(dtype),
+                              energy=e.astype(dtype), virial=w.astype(dtype))
+        nvt = make_step(params, NVT(temp, 100 * dt), engine,
+                        force_dtype=force_dtype)
+        nve = make_step(params, NVE(), engine, force_dtype=force_dtype)
+    else:
+        # Slot-space hot loop (no per-step scatter/gather).
+        from mdtpu.integrate.slot_step import (make_slot_step, slot_forces,
+                                               slotify)
 
-    nvt = make_step(params, NVT(temp, 100 * dt), engine,
-                    force_dtype=force_dtype)
+        state = slot_forces(slotify(state, engine), engine,
+                            force_dtype=force_dtype)
+        nvt = make_slot_step(params, NVT(temp, 100 * dt), engine,
+                             force_dtype=force_dtype)
+        nve = make_slot_step(params, NVE(), engine, force_dtype=force_dtype)
+
     adv_nvt = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nvt(x), s))
     state = adv_nvt(state, 20_000)
     jax.block_until_ready(state)
-
-    nve = make_step(params, NVE(), engine, force_dtype=force_dtype)
 
     @jax.jit
     def segment(s):

@@ -1,5 +1,5 @@
 """Slot-space hot loop: the whole simulation state lives in cell-sorted
-slot order.
+slot order, component-major.
 
 Motivation (measured at the N=65k bench config on TPU v5e): of the 3.6 ms
 cell-grid force evaluation, ~1.1 ms is the scatter of particle coordinates
@@ -8,15 +8,17 @@ order — XLA's TPU scatter/gather are serialized and cost more than the whole
 pair sweep (~0.9 ms). Keeping positions/velocities/forces in slot order
 removes both: the sweep becomes reshape-only, and the integrator simply
 processes ~1.6x more rows (vacant slots integrate zeros — cheap dense VPU
-work).
+work). Arrays are component-major (d, n_slots): an (N, 3) array pads its
+trailing 3 to 128 lanes on TPU (42x memory), so every integrator op runs on
+dense (n_slots,) lane vectors instead.
 
 Layout contract:
-  * all per-particle arrays have n_slots = n_cells * C rows in cell-sorted
-    order; vacant rows hold far-pad coordinates, zero velocities/forces,
-    unit diameters;
-  * ``state.nbrs.occupied`` marks real rows; ``state.nf`` still encodes the
+  * per-particle arrays have shape (d, n_slots) (diameters: (n_slots,)),
+    n_slots = n_cells * C, in cell-sorted order; vacant rows hold far-pad
+    coordinates, zero velocities/forces, unit diameters;
+  * ``state.nbrs.occupied`` marks real slots; ``state.nf`` still encodes the
     true particle count, so temperature/thermostat are unchanged;
-  * the periodic wrap is masked to occupied rows (vacant far coordinates
+  * the periodic wrap is masked to occupied slots (vacant far coordinates
     must never be folded into the box) and applied as a compensated delta;
   * when any particle drifts past skin/2 the step re-bins IN-LOOP via
     ``lax.cond``: one argsort + a scatter per array, amortized over the
@@ -34,7 +36,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdtpu.core.box import minimum_image, wrap_positions_compensated
 from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
 from mdtpu.integrate.step import SQRT3, _add
 from mdtpu.integrate.thermostat import bussi_rescale, compute_temperature
@@ -46,85 +47,120 @@ from mdtpu.ops.cell_grid import (
 )
 
 
-def _far_template(n_slots, dim, dtype):
-    far = _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(n_slots + 1,
-                                                        dtype=dtype)
-    return jnp.stack([far] * dim, axis=-1)
+def _far_row(n_slots, dtype):
+    return _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(n_slots + 1,
+                                                         dtype=dtype)
+
+
+def _scatter_rows(a, addr, n_slots, fill):
+    """Scatter component-major rows a[k] to slots: out[k, addr[i]] = a[k, i],
+    vacant slots filled with `fill` ('far' = the far-pad ramp)."""
+    rows = []
+    for k in range(a.shape[0]):
+        if fill == "far":
+            base = _far_row(n_slots, a.dtype)
+        else:
+            base = jnp.full((n_slots + 1,), fill, a.dtype)
+        rows.append(base.at[addr].set(a[k])[:-1])
+    return jnp.stack(rows)
+
+
+def _frac_components(x, cell_inv):
+    dim = x.shape[0]
+    return [sum(cell_inv[k, j] * x[j] for j in range(dim))
+            for k in range(dim)]
 
 
 def slotify(state: SimulationState, engine: CellGridEngine) -> SimulationState:
-    """Convert an (N,) particle state into slot order (n_cells * C rows)."""
+    """Convert an (N, d) particle state into component-major slot order."""
     n, dim = state.positions.shape
     cap = engine.cell_capacity
     n_cells = int(np.prod(engine.grid))
     n_slots = n_cells * cap
-    dtype = state.positions.dtype
 
     nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
                            state.unitcell_inv)
     addr = nbrs.addr  # (N,) slot or trash (= n_slots)
 
-    far = _far_template(n_slots, dim, dtype)
-
     def put(a, fill):
         if a is None:
             return None
-        if fill == "far":
-            base = far
-        else:
-            base = jnp.full((n_slots + 1,) + a.shape[1:], fill, a.dtype)
+        return _scatter_rows(a.T, addr, n_slots, fill)
+
+    def put1(a, fill):
+        base = jnp.full((n_slots + 1,), fill, a.dtype)
         return base.at[addr].set(a)[:-1]
 
     occupied = jnp.zeros((n_slots + 1,), bool).at[addr].set(True)[:-1]
+    positions = put(state.positions, "far")
     slot_nbrs = CellGridState(
         addr=jnp.arange(n_slots, dtype=jnp.int32),
         occupied=occupied,
         sorted_comps=nbrs.sorted_comps,
-        sorted_diam=put(state.diameters, 1),
-        ref_positions=put(state.positions, "far"),
+        sorted_diam=put1(state.diameters, 1),
+        ref_positions=positions,
         overflow=nbrs.overflow,
     )
     return state.replace(
-        positions=put(state.positions, "far"),
+        positions=positions,
         velocities=put(state.velocities, 0),
         forces=put(state.forces, 0),
         images=put(state.images, 0),
-        diameters=put(state.diameters, 1),
+        diameters=put1(state.diameters, 1),
         pos_comp=put(state.pos_comp, 0),
         vel_comp=put(state.vel_comp, 0),
         nbrs=slot_nbrs,
     )
 
 
+def slot_forces(state: SimulationState, engine: CellGridEngine,
+                force_dtype=None) -> SimulationState:
+    """Materialise forces/energy/virial on a freshly slotified state."""
+    dtype = state.positions.dtype
+    if force_dtype is not None and dtype != force_dtype:
+        e, w, f, nbrs = engine.compute_slots(
+            state.positions.astype(force_dtype),
+            state.diameters.astype(force_dtype),
+            state.unitcell.astype(force_dtype),
+            state.unitcell_inv.astype(force_dtype), state.nbrs)
+        e, w, f = e.astype(dtype), w.astype(dtype), f.astype(dtype)
+    else:
+        e, w, f, nbrs = engine.compute_slots(
+            state.positions, state.diameters, state.unitcell,
+            state.unitcell_inv, state.nbrs)
+    return state.replace(forces=f, energy=e, virial=w, nbrs=nbrs)
+
+
 def unslotify_arrays(state: SimulationState):
-    """(positions, velocities, diameters, images) of the real rows, as numpy
-    (row order is the current slot order, not the original particle order)."""
+    """(positions, velocities, diameters, images) of the real rows as numpy
+    (N, d) arrays (row order is the current slot order, not the original
+    particle order)."""
     occ = np.asarray(state.nbrs.occupied)
-    return tuple(np.asarray(a)[occ] for a in (
-        state.positions, state.velocities, state.diameters, state.images))
+    out = []
+    for a in (state.positions, state.velocities):
+        out.append(np.asarray(a).T[occ])
+    out.append(np.asarray(state.diameters)[occ])
+    out.append(np.asarray(state.images).T[occ])
+    return tuple(out)
 
 
 def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     """Re-sort all slot arrays by current cells (the rebuild). Runs inside
-    lax.cond — fixed shapes, one argsort + one scatter per array."""
-    dim = state.positions.shape[1]
+    lax.cond — fixed shapes, one argsort + one scatter per array row."""
+    dim = state.positions.shape[0]
     cap = engine.cell_capacity
     n_cells = int(np.prod(engine.grid))
     n_slots = n_cells * cap
-    dtype = state.positions.dtype
     grid = jnp.asarray(engine.grid, jnp.int32)
 
     occ = state.nbrs.occupied
-    # Wrap valid rows into the box for binning (state positions may be up to
-    # skin/2 outside after compensated-delta wraps).
-    frac = jnp.dot(state.positions, state.unitcell_inv.T,
-                   precision=jax.lax.Precision.HIGHEST)
-    frac = frac - jnp.floor(frac)
-    coords = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
+    frac = _frac_components(state.positions, state.unitcell_inv)
+    coords = [jnp.clip((f - jnp.floor(f)) * grid[k], 0, grid[k] - 1)
+              .astype(jnp.int32) for k, f in enumerate(frac)]
     strides = np.concatenate(
         [np.cumprod(np.asarray(engine.grid)[::-1])[-2::-1], [1]]
     ).astype(np.int32)
-    cid = jnp.sum(coords * jnp.asarray(strides), axis=1)
+    cid = sum(coords[k] * int(strides[k]) for k in range(dim))
     cid = jnp.where(occ, cid, n_cells)
 
     order = jnp.argsort(cid).astype(jnp.int32)
@@ -138,20 +174,18 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     addr_sorted = jnp.where(ok, cid_sorted * cap + rank, n_slots)
     addr = jnp.zeros((n_slots,), jnp.int32).at[order].set(addr_sorted)
 
-    far = _far_template(n_slots, dim, dtype)
-
     def put(a, fill):
-        if fill == "far":
-            base = far
-        else:
-            base = jnp.full((n_slots + 1,) + a.shape[1:], fill, a.dtype)
+        return _scatter_rows(a, addr, n_slots, fill)
+
+    def put1(a, fill):
+        base = jnp.full((n_slots + 1,), fill, a.dtype)
         return base.at[addr].set(a)[:-1]
 
     positions = put(state.positions, "far")
     occupied = jnp.zeros((n_slots + 1,), bool).at[addr].set(occ)[:-1]
     nbrs = state.nbrs.replace(
         occupied=occupied,
-        sorted_diam=put(state.diameters, 1),
+        sorted_diam=put1(state.diameters, 1),
         ref_positions=positions,
         overflow=state.nbrs.overflow | overflow,
     )
@@ -160,7 +194,7 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
         velocities=put(state.velocities, 0),
         forces=put(state.forces, 0),
         images=put(state.images, 0),
-        diameters=put(state.diameters, 1),
+        diameters=put1(state.diameters, 1),
         pos_comp=put(state.pos_comp, 0),
         vel_comp=put(state.vel_comp, 0),
         nbrs=nbrs,
@@ -168,34 +202,57 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
 
 
 def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
-                   compensated: bool = True):
-    """Fused step over a slot-ordered state (see module docstring)."""
+                   compensated: bool = True, force_dtype=None):
+    """Fused step over a component-major slot-ordered state (see module
+    docstring). ``force_dtype``: evaluate the sweep in this dtype (e.g. f64
+    for the NVE drift gate — the upcast is exact, see
+    mdtpu.integrate.step.make_md_step)."""
     is_nvt = isinstance(ensemble, NVT)
     is_brownian = isinstance(ensemble, Brownian)
 
+    def sweep(x, diameters, cell, cell_inv, nbrs, out_dtype):
+        if force_dtype is not None and x.dtype != force_dtype:
+            e, w, f, nbrs = engine.compute_slots(
+                x.astype(force_dtype), diameters.astype(force_dtype),
+                cell.astype(force_dtype), cell_inv.astype(force_dtype), nbrs)
+            return (e.astype(out_dtype), w.astype(out_dtype),
+                    f.astype(out_dtype), nbrs)
+        return engine.compute_slots(x, diameters, cell, cell_inv, nbrs)
+
     def maybe_rebin(state):
-        disp = minimum_image(state.positions - state.nbrs.ref_positions,
-                             state.unitcell, state.unitcell_inv)
+        dim = state.positions.shape[0]
+        disp = [state.positions[k] - state.nbrs.ref_positions[k]
+                for k in range(dim)]
+        frac = _frac_components(jnp.stack(disp), state.unitcell_inv)
+        frac = [f - jnp.round(f) for f in frac]
+        cell = state.unitcell
+        d2 = sum(
+            sum(cell[k, j] * frac[j] for j in range(dim)) ** 2
+            for k in range(dim))
         half_skin = 0.5 * engine.skin
-        rebuild = jnp.any(jnp.sum(disp * disp, axis=-1)
-                          > half_skin * half_skin)
+        rebuild = jnp.any(d2 > half_skin * half_skin)
         return jax.lax.cond(rebuild, lambda s: _rebin(s, engine),
                             lambda s: s, state)
 
     def masked_wrap(x, xc, images, occ, cell, cell_inv):
         # Vacant far rows must never fold into the box: zero their crossing
-        # counts. Same compensated delta wrap as the particle-order step.
-        frac = jnp.dot(x, cell_inv.T, precision=jax.lax.Precision.HIGHEST)
-        n_cross = jnp.where(occ[:, None], jnp.floor(frac),
-                            jnp.zeros_like(frac))
-        delta = -jnp.dot(n_cross, cell.T, precision=jax.lax.Precision.HIGHEST)
+        # counts. Same compensated delta wrap as the particle-order step,
+        # in component form.
         from mdtpu.utils.math import kahan_add
 
+        dim = x.shape[0]
+        frac = _frac_components(x, cell_inv)
+        n_cross = [jnp.where(occ, jnp.floor(f), jnp.zeros_like(f))
+                   for f in frac]
+        delta = jnp.stack([
+            -sum(cell[k, j] * n_cross[j] for j in range(dim))
+            for k in range(dim)])
         if compensated:
             x, xc = kahan_add(x, xc, delta)
         else:
             x = x + delta
-        return x, xc, images + n_cross.astype(images.dtype)
+        images = images + jnp.stack(n_cross).astype(images.dtype)
+        return x, xc, images
 
     def step(state: SimulationState) -> SimulationState:
         dtype = state.positions.dtype
@@ -207,13 +264,14 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         occ = state.nbrs.occupied
 
         if is_brownian:
-            energy, virial, forces, nbrs = engine.compute_slots(
-                state.positions, state.diameters, cell, cell_inv, state.nbrs)
+            energy, virial, forces, nbrs = sweep(
+                state.positions, state.diameters, cell, cell_inv, state.nbrs,
+                dtype)
             ktemp = jnp.asarray(ensemble.ktemp, dtype)
             key_step = jax.random.fold_in(state.key, state.step)
             u = jax.random.uniform(key_step, state.positions.shape,
                                    dtype=dtype)
-            noise = jnp.where(occ[:, None], (2.0 * u - 1.0) * SQRT3, 0.0)
+            noise = jnp.where(occ[None, :], (2.0 * u - 1.0) * SQRT3, 0.0)
             dx = forces * (dt / ktemp) + noise * jnp.sqrt(2.0 * dt)
             x, xc = _add(state.positions, state.pos_comp, dx, compensated)
             x, xc, images = masked_wrap(x, xc, state.images, occ, cell,
@@ -233,8 +291,8 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         x, xc = _add(state.positions, state.pos_comp, v * dt, compensated)
         x, xc, images = masked_wrap(x, xc, state.images, occ, cell, cell_inv)
 
-        energy, virial, forces, nbrs = engine.compute_slots(
-            x, state.diameters, cell, cell_inv, state.nbrs)
+        energy, virial, forces, nbrs = sweep(
+            x, state.diameters, cell, cell_inv, state.nbrs, dtype)
 
         v, vc = _add(v, vc, forces * half, compensated)
 

@@ -315,27 +315,34 @@ class CellGridEngine:
 
     def compute_slots(self, positions, diameters, cell, cell_inv,
                       nbrs: CellGridState):
-        """Slot-space sweep: positions/diameters are ALREADY in cell-sorted
-        slot order ((n_cells * C, d) with far-pad vacants), so there is no
-        per-step scatter into the grid and no gather back — on TPU those two
-        irregular memory ops cost more than the entire pair computation
-        (measured 2.4 of 3.6 ms at the N=65k bench). Used by
-        mdtpu.integrate.slot_step, which keeps the whole simulation state in
-        slot order and re-bins only at skin rebuilds."""
-        from mdtpu.core.box import minimum_image
-
-        dim = positions.shape[1]
+        """Slot-space sweep: positions are ALREADY in cell-sorted slot order
+        and component-major — shape (d, n_cells * C) with far-pad vacants —
+        so there is no per-step scatter into the grid and no gather back; on
+        TPU those two irregular memory ops cost more than the entire pair
+        computation (measured 2.4 of 3.6 ms at the N=65k bench). The
+        component-major layout also keeps every row a dense lane vector (an
+        (N, 3) array pads its trailing 3 to 128 lanes — 42x memory on TPU).
+        Used by mdtpu.integrate.slot_step, which keeps the whole simulation
+        state in this layout and re-bins only at skin rebuilds."""
+        dim = positions.shape[0]
         cap = self.cell_capacity
         shape = tuple(self.grid) + (cap,)
         # ref + MIC keeps boundary-crossing drift next to its home cell
         # (vacant slots: pos == ref, so eff stays at the far-pad value).
-        eff = nbrs.ref_positions + minimum_image(
-            positions - nbrs.ref_positions, cell, cell_inv)
-        eff_t = eff.T
-        grids = [eff_t[k].reshape(shape) for k in range(dim)]
+        # Component form — no (d, d) matmuls on lane-padded (N, d) arrays.
+        ref = nbrs.ref_positions
+        disp = [positions[k] - ref[k] for k in range(dim)]
+        frac = [sum(cell_inv[k, j] * disp[j] for j in range(dim))
+                for k in range(dim)]
+        frac = [f - jnp.round(f) for f in frac]
+        grids = [
+            (ref[k] + sum(cell[k, j] * frac[j] for j in range(dim)))
+            .reshape(shape)
+            for k in range(dim)
+        ]
         diam = diameters.reshape(shape)
         energy, virial, f_own = self._zwindow_sweep(grids, diam, cell)
-        forces = jnp.stack([f.reshape(-1) for f in f_own], axis=-1)
+        forces = jnp.stack([f.reshape(-1) for f in f_own])
         return energy, virial, forces, nbrs
 
     def _compute_rolls(self, positions, diameters, cell, cell_inv,

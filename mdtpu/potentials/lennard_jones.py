@@ -95,7 +95,14 @@ class LennardJones(Potential):
 
         inside = r2 < rc * rc
         r2_safe = jnp.where(inside, r2, jnp.ones_like(r2))
-        inv_r2 = 1.0 / r2_safe           # the single expensive op per pair
+        if self.force_shift:
+            # Force-shift needs 1/r anyway: derive 1/r^2 from ONE rsqrt
+            # instead of paying both a divide and an rsqrt (each multi-pass
+            # on the VPU — together ~15% of the pair-sweep ops).
+            inv_r = jax.lax.rsqrt(r2_safe)
+            inv_r2 = inv_r * inv_r
+        else:
+            inv_r2 = 1.0 / r2_safe       # the single expensive op per pair
         sr2 = (sigma * sigma) * inv_r2
         sr6 = sr2 * sr2 * sr2
         sr12 = sr6 * sr6
@@ -108,8 +115,7 @@ class LennardJones(Potential):
             v = v - v_cut
             if self.force_shift:
                 f_cut = 24.0 * eps * (2.0 * src12 - src6) / rc
-                inv_r = jax.lax.rsqrt(r2_safe)
-                v = v + (1.0 / inv_r - rc) * f_cut
+                v = v + (r2_safe * inv_r - rc) * f_cut
                 f_over_r = f_over_r - f_cut * inv_r
 
         zero = jnp.zeros_like(v)

@@ -29,11 +29,9 @@ def _setup(n=768, rho=0.5, skin=0.15):
 
 
 def _slot_with_forces(state, eng):
-    slot = slotify(state, eng)
-    e, w, f, nbrs = eng.compute_slots(slot.positions, slot.diameters,
-                                      slot.unitcell, slot.unitcell_inv,
-                                      slot.nbrs)
-    return slot.replace(forces=f, energy=e, virial=w, nbrs=nbrs)
+    from mdtpu.integrate.slot_step import slot_forces
+
+    return slot_forces(slotify(state, eng), eng)
 
 
 @pytest.mark.parametrize("ensemble", [NVE(), NVT(1.0, 0.2)])
@@ -74,7 +72,7 @@ def test_slot_step_brownian_runs_and_pads_stay_far():
     assert int(sl.step) == 30
     assert int(sl.nprom) == 3
     occ = np.asarray(sl.nbrs.occupied)
-    pos = np.asarray(sl.positions)
+    pos = np.asarray(sl.positions).T  # (n_slots, d)
     # vacant rows never moved or wrapped into the box
     assert (pos[~occ][:, 0] > 1e5).all()
     assert occ.sum() == n_real
