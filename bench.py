@@ -76,13 +76,15 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
                                    cell_capacity=cell_capacity)
 
     if slot:
-        # Slot-space hot loop: no per-step scatter/gather (see
-        # mdtpu/integrate/slot_step.py).
-        from mdtpu.integrate.slot_step import (make_slot_step, slot_forces,
+        # Slot-space hot loop: no per-step scatter/gather, skin rebuild
+        # hoisted out of the step (see mdtpu/integrate/slot_step.py —
+        # a per-step lax.cond costs as much as the whole pair sweep).
+        from mdtpu.integrate.slot_step import (make_slot_advance, slot_forces,
                                                slotify)
 
         state = slot_forces(slotify(state, engine), engine)
-        step = make_slot_step(params, NVT(temp, 0.4), engine)
+        advance = jax.jit(make_slot_advance(params, NVT(temp, 0.4), engine))
+        return state, advance
     else:
         nbrs = engine.allocate(state.positions, state.diameters,
                                state.unitcell, state.unitcell_inv)

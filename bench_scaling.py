@@ -45,11 +45,12 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
         slot = False
 
     if slot:
-        from mdtpu.integrate.slot_step import (make_slot_step, slot_forces,
+        from mdtpu.integrate.slot_step import (make_slot_advance, slot_forces,
                                                slotify)
 
         state = slot_forces(slotify(state, engine), engine)
-        step = make_slot_step(params, NVT(temp, 100 * dt), engine)
+        advance = jax.jit(make_slot_advance(params, NVT(temp, 100 * dt),
+                                            engine))
     else:
         nbrs = engine.allocate(state.positions, state.diameters,
                                state.unitcell, state.unitcell_inv)
@@ -58,8 +59,8 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
                                        nbrs)
         state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
         step = make_step(params, NVT(temp, 100 * dt), engine)
-    advance = jax.jit(
-        lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
+        advance = jax.jit(
+            lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
     state = advance(state, 100)  # warm + melt
     jax.block_until_ready(state)
     t0 = time.perf_counter()

@@ -63,23 +63,29 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
                         force_dtype=force_dtype)
         nve = make_step(params, NVE(), engine, force_dtype=force_dtype)
     else:
-        # Slot-space hot loop (no per-step scatter/gather).
-        from mdtpu.integrate.slot_step import (make_slot_step, slot_forces,
+        # Slot-space hot loop (no per-step scatter/gather, rebin hoisted
+        # out of the step).
+        from mdtpu.integrate.slot_step import (make_slot_advance, slot_forces,
                                                slotify)
 
         state = slot_forces(slotify(state, engine), engine,
                             force_dtype=force_dtype)
-        nvt = make_slot_step(params, NVT(temp, 100 * dt), engine,
-                             force_dtype=force_dtype)
-        nve = make_slot_step(params, NVE(), engine, force_dtype=force_dtype)
+        nvt_adv = make_slot_advance(params, NVT(temp, 100 * dt), engine,
+                                    force_dtype=force_dtype)
+        nve_adv = make_slot_advance(params, NVE(), engine,
+                                    force_dtype=force_dtype)
 
-    adv_nvt = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nvt(x), s))
+    if engine_kind == "naive":
+        nvt_adv = lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nvt(x), s)
+        nve_adv = lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nve(x), s)
+
+    adv_nvt = jax.jit(nvt_adv)
     state = adv_nvt(state, 20_000)
     jax.block_until_ready(state)
 
     @jax.jit
     def segment(s):
-        s = jax.lax.fori_loop(0, sample_every, lambda i, x: nve(x), s)
+        s = nve_adv(s, sample_every)
         kin = 0.5 * jnp.sum(s.velocities.astype(jnp.float64) ** 2)
         return s, s.energy.astype(jnp.float64) + kin, s.temperature, s.virial
 

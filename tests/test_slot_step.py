@@ -59,6 +59,33 @@ def test_slot_step_matches_particle_step(ensemble):
                                rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.parametrize("ensemble", [NVE(), NVT(1.0, 0.2)])
+def test_slot_advance_matches_per_step_cond(ensemble):
+    # The nested-while advance (rebin hoisted out of the step) must be
+    # step-for-step identical to the per-step lax.cond form — rebuilds fire
+    # at the start of exactly the same steps.
+    from mdtpu.integrate.slot_step import make_slot_advance
+
+    state, params, eng = _setup()
+    slot_step = jax.jit(make_slot_step(params, ensemble, eng))
+    advance = jax.jit(make_slot_advance(params, ensemble, eng),
+                      static_argnums=())
+    sl_ref = _slot_with_forces(state, eng)
+    sl_adv = advance(sl_ref, 150)   # skin 0.15: several rebins inside
+    for _ in range(150):
+        sl_ref = slot_step(sl_ref)
+
+    assert int(sl_adv.step) == int(sl_ref.step)
+    np.testing.assert_array_equal(np.asarray(sl_adv.positions),
+                                  np.asarray(sl_ref.positions))
+    np.testing.assert_array_equal(np.asarray(sl_adv.velocities),
+                                  np.asarray(sl_ref.velocities))
+    np.testing.assert_array_equal(np.asarray(sl_adv.nbrs.occupied),
+                                  np.asarray(sl_ref.nbrs.occupied))
+    np.testing.assert_array_equal(np.asarray(sl_adv.energy),
+                                  np.asarray(sl_ref.energy))
+
+
 def test_slot_step_brownian_runs_and_pads_stay_far():
     state, params, eng = _setup()
     # Overdamped dynamics needs a much smaller dt than inertial MD for a
