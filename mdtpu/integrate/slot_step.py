@@ -145,13 +145,20 @@ def unslotify_arrays(state: SimulationState):
 
 
 def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
-    """Re-sort all slot arrays by current cells (the rebuild). Runs inside
-    lax.cond — fixed shapes, one argsort + one scatter per array row."""
+    """Re-sort all slot arrays by current cells (the rebuild).
+
+    Fixed shapes: one (n_slots,) argsort + ONE packed (R, n_slots) scatter
+    moving every state row at once. TPU scatters serialize over indices but
+    vectorize over the scattered slice: 21 separate row scatters cost ~21 ms
+    at the 65k bench, the packed form 1.35 ms (probe_rebin) — so everything,
+    including the int32 images and the bool occupancy mask, rides the one
+    f32 scatter (image counts and 0/1 flags are exact in f32)."""
     dim = state.positions.shape[0]
     cap = engine.cell_capacity
     n_cells = int(np.prod(engine.grid))
     n_slots = n_cells * cap
     grid = jnp.asarray(engine.grid, jnp.int32)
+    dtype = state.positions.dtype
 
     occ = state.nbrs.occupied
     frac = _frac_components(state.positions, state.unitcell_inv)
@@ -174,29 +181,42 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     addr_sorted = jnp.where(ok, cid_sorted * cap + rank, n_slots)
     addr = jnp.zeros((n_slots,), jnp.int32).at[order].set(addr_sorted)
 
-    def put(a, fill):
-        return _scatter_rows(a, addr, n_slots, fill)
+    rows = jnp.concatenate([
+        state.positions,                       # dim rows, far-pad fill
+        state.velocities,                      # dim rows, 0
+        state.forces,                          # dim
+        state.pos_comp,                        # dim
+        state.vel_comp,                        # dim
+        state.images.astype(dtype),            # dim (int counts, f32-exact)
+        state.diameters[None],                 # 1, fill 1
+        occ.astype(dtype)[None],               # 1, fill 0
+    ])
+    far = _far_row(n_slots, dtype)
+    base = jnp.concatenate([
+        jnp.broadcast_to(far[None], (dim, n_slots + 1)),
+        jnp.zeros((5 * dim, n_slots + 1), dtype),
+        jnp.ones((1, n_slots + 1), dtype),
+        jnp.zeros((1, n_slots + 1), dtype),
+    ])
+    packed = base.at[:, addr].set(rows)[:, :-1]
 
-    def put1(a, fill):
-        base = jnp.full((n_slots + 1,), fill, a.dtype)
-        return base.at[addr].set(a)[:-1]
-
-    positions = put(state.positions, "far")
-    occupied = jnp.zeros((n_slots + 1,), bool).at[addr].set(occ)[:-1]
+    positions = packed[0:dim]
+    diameters = packed[6 * dim]
+    occupied = packed[6 * dim + 1] != 0
     nbrs = state.nbrs.replace(
         occupied=occupied,
-        sorted_diam=put1(state.diameters, 1),
+        sorted_diam=diameters,
         ref_positions=positions,
         overflow=state.nbrs.overflow | overflow,
     )
     return state.replace(
         positions=positions,
-        velocities=put(state.velocities, 0),
-        forces=put(state.forces, 0),
-        images=put(state.images, 0),
-        diameters=put1(state.diameters, 1),
-        pos_comp=put(state.pos_comp, 0),
-        vel_comp=put(state.vel_comp, 0),
+        velocities=packed[dim:2 * dim],
+        forces=packed[2 * dim:3 * dim],
+        pos_comp=packed[3 * dim:4 * dim],
+        vel_comp=packed[4 * dim:5 * dim],
+        images=packed[5 * dim:6 * dim].astype(state.images.dtype),
+        diameters=diameters,
         nbrs=nbrs,
     )
 
@@ -219,7 +239,7 @@ def slot_needs_rebin(state: SimulationState, engine: CellGridEngine):
 
 def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
                    compensated: bool = True, force_dtype=None,
-                   rebin_check: bool = True):
+                   rebin_check: bool = True, observables: bool = True):
     """Fused step over a component-major slot-ordered state (see module
     docstring). ``force_dtype``: evaluate the sweep in this dtype (e.g. f64
     for the NVE drift gate — the upcast is exact, see
@@ -232,15 +252,20 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
     ``make_slot_advance`` which hoists the check into a nested while_loop."""
     is_nvt = isinstance(ensemble, NVT)
     is_brownian = isinstance(ensemble, Brownian)
+    # Brownian accumulates the 10-step-averaged virial in-loop
+    # (/root/reference/src/simulation.jl:253-256), so it always observes.
+    obs = True if is_brownian else observables
 
     def sweep(x, diameters, cell, cell_inv, nbrs, out_dtype):
         if force_dtype is not None and x.dtype != force_dtype:
             e, w, f, nbrs = engine.compute_slots(
                 x.astype(force_dtype), diameters.astype(force_dtype),
-                cell.astype(force_dtype), cell_inv.astype(force_dtype), nbrs)
+                cell.astype(force_dtype), cell_inv.astype(force_dtype), nbrs,
+                observables=obs)
             return (e.astype(out_dtype), w.astype(out_dtype),
                     f.astype(out_dtype), nbrs)
-        return engine.compute_slots(x, diameters, cell, cell_inv, nbrs)
+        return engine.compute_slots(x, diameters, cell, cell_inv, nbrs,
+                                    observables=obs)
 
     def maybe_rebin(state):
         return jax.lax.cond(slot_needs_rebin(state, engine),
@@ -306,6 +331,11 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
 
         energy, virial, forces, nbrs = sweep(
             x, state.diameters, cell, cell_inv, state.nbrs, dtype)
+        if not obs:
+            # Lean step: scalars weren't accumulated; carry the last observed
+            # values (refreshed by the full step at every segment boundary,
+            # see make_slot_advance).
+            energy, virial = state.energy, state.virial
 
         v, vc = _add(v, vc, forces * half, compensated)
 
@@ -329,33 +359,41 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
 
 
 def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
-                      compensated: bool = True, force_dtype=None):
+                      compensated: bool = True, force_dtype=None,
+                      lean: bool = True):
     """``advance(state, k) -> state`` after k fused slot steps, with the skin
-    rebuild hoisted OUT of the per-step path.
+    rebuild hoisted OUT of the per-step path and (``lean=True``) the
+    energy/virial accumulation skipped on all but the last step.
 
-    A ``lax.cond`` inside the step costs 1.12 ms/step at the N=65k bench on
-    TPU v5e — as much as the whole pair sweep — even though the rebin branch
-    runs only ~1/40 steps (probe_slot.py). Here the hot loop is an inner
-    ``while_loop`` of plain steps whose predicate exits when any particle has
-    drifted past skin/2; the outer loop re-bins (cond, amortized over the
-    rebuild interval) and re-enters. Step-for-step identical to the per-step
-    cond form: the rebuild happens at the start of exactly the same steps.
+    The hot loop is an inner ``while_loop`` of plain steps whose predicate
+    exits when any particle has drifted past skin/2; the outer loop re-bins
+    (cond, amortized over the rebuild interval) and re-enters. Step-for-step
+    identical to the per-step cond form: the rebuild happens at the start of
+    exactly the same steps, and forces are bitwise identical in lean mode —
+    the k-th step always runs the full sweep so ``state.energy``/``virial``
+    are fresh wherever the caller can read them (thermo/sample boundaries).
 
-    Role analog: CellListMap's UpdateParticleSystem! rebuild, which the
-    reference pays EVERY step (/root/reference/src/simulation.jl:100-104);
-    the skin/half-drift deferral is this framework's redesign."""
+    Role analog: CellListMap's UpdateParticleSystem! rebuild + per-step
+    energy accumulation, both of which the reference pays EVERY step
+    (/root/reference/src/simulation.jl:100-104); the skin deferral and the
+    observable-free steps are this framework's redesign."""
     step = make_slot_step(params, ensemble, engine, compensated=compensated,
-                          force_dtype=force_dtype, rebin_check=False)
+                          force_dtype=force_dtype, rebin_check=False,
+                          observables=not lean)
+    last_step = make_slot_step(params, ensemble, engine,
+                               compensated=compensated,
+                               force_dtype=force_dtype, rebin_check=True)
 
     def needs(state):
         return slot_needs_rebin(state, engine)
 
     def advance(state: SimulationState, k) -> SimulationState:
         k = jnp.asarray(k, jnp.int32)
+        n_lean = k - 1 if lean else k
 
         def outer_cond(carry):
             s, i = carry
-            return i < k
+            return i < n_lean
 
         def outer_body(carry):
             s, i = carry
@@ -370,7 +408,7 @@ def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
             # fuses with the step's own elementwise work for free.
             def inner_cond(c):
                 s2, j, rebuild = c
-                return (j < k) & ~rebuild
+                return (j < n_lean) & ~rebuild
 
             def inner_body(c):
                 s2, j, _ = c
@@ -383,6 +421,10 @@ def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
 
         out, _ = jax.lax.while_loop(outer_cond, outer_body,
                                     (state, jnp.int32(0)))
+        if lean:
+            # Final full step (rebin cond + observable sweep): segment
+            # boundaries always expose fresh energy/virial.
+            out = jax.lax.cond(k > 0, last_step, lambda s: s, out)
         return out
 
     return advance

@@ -54,6 +54,15 @@ class Potential:
         u, f = self.evaluate(r, sigma_i, sigma_j)
         return u, f / jnp.where(r > 0, r, jnp.ones_like(r))
 
+    def force_r2(self, r2, sigma_i, sigma_j):
+        """Force-only squared-distance form: ``f_over_r`` alone.
+
+        Engines call this on steps where no observable (energy/virial) is
+        read — all but the thermo/sample steps — skipping the energy
+        polynomial. Default reuses ``evaluate_r2``; built-ins override when
+        the force expression shares no work with the energy."""
+        return self.evaluate_r2(r2, sigma_i, sigma_j)[1]
+
     # Long-range (tail) corrections; generic no-op interface mirroring
     # /root/reference/src/potentials.jl:281-293. Overrides return the *total*
     # system correction (energy) / correction to pressure.

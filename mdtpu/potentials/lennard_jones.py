@@ -121,6 +121,31 @@ class LennardJones(Potential):
         zero = jnp.zeros_like(v)
         return jnp.where(inside, v, zero), jnp.where(inside, f_over_r, zero)
 
+    def force_r2(self, r2, sigma_i=1.0, sigma_j=1.0):
+        """Force-only hot path: drops the energy polynomial (v, shift
+        constants) — ~5 VPU ops per pair slot fewer than evaluate_r2."""
+        dtype = jnp.asarray(r2).dtype
+        eps = jnp.asarray(self.epsilon, dtype)
+        rc = jnp.asarray(self.r_cut, dtype)
+        sigma = self._mixed_sigma(sigma_i, sigma_j, dtype)
+
+        inside = r2 < rc * rc
+        r2_safe = jnp.where(inside, r2, jnp.ones_like(r2))
+        if self.force_shift:
+            inv_r = jax.lax.rsqrt(r2_safe)
+            inv_r2 = inv_r * inv_r
+        else:
+            inv_r2 = 1.0 / r2_safe
+        sr2 = (sigma * sigma) * inv_r2
+        sr6 = sr2 * sr2 * sr2
+        sr12 = sr6 * sr6
+        f_over_r = 24.0 * eps * (2.0 * sr12 - sr6) * inv_r2
+        if self.force_shift:
+            src6, src12 = _sr_powers(sigma, rc)
+            f_cut = 24.0 * eps * (2.0 * src12 - src6) / rc
+            f_over_r = f_over_r - f_cut * inv_r
+        return jnp.where(inside, f_over_r, jnp.zeros_like(f_over_r))
+
     # Total tail corrections (/root/reference/src/potentials.jl:111-152).
     def energy_lrc(self, n_particles, volume):
         if not self.tail_correction:
