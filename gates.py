@@ -21,7 +21,7 @@ import numpy as np
 
 def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
          sample_every=2_000, dtype=None, force_dtype=None,
-         engine_kind="cell"):
+         engine_kind="cell", hilo=False):
     from mdtpu.core.types import NVE, NVT, Parameters
     from mdtpu.integrate.step import make_step, engine_forces
     from mdtpu.ops.cell_grid import CellGridEngine
@@ -50,7 +50,13 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
         # grid: fewer padded slots, no rebuild/refresh machinery.
         engine = NaivePairEngine(potential=pot, cutoff=1.5)
     else:
-        engine = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
+        # Padded-lane-optimal geometry; ALSO the capacity-margin fix: the
+        # cutoff-sized grid's C=15 (mean occupancy 4.7) overflowed once in
+        # a 1M-step run, silently dropping a particle into the trash slot —
+        # the energy jumped 0.27/particle and the "drift" gate read 0.38.
+        # Overflow is now reported below so this can never masquerade as
+        # integrator drift again.
+        engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n)
 
     if engine_kind == "naive":
         e, w, f, nbrs = engine_forces(engine, state.positions,
@@ -71,9 +77,9 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
         state = slot_forces(slotify(state, engine), engine,
                             force_dtype=force_dtype)
         nvt_adv = make_slot_advance(params, NVT(temp, 100 * dt), engine,
-                                    force_dtype=force_dtype)
+                                    force_dtype=force_dtype, hilo=hilo)
         nve_adv = make_slot_advance(params, NVE(), engine,
-                                    force_dtype=force_dtype)
+                                    force_dtype=force_dtype, hilo=hilo)
 
     if engine_kind == "naive":
         nvt_adv = lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: nvt(x), s)
@@ -110,16 +116,25 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
     mode = jnp.dtype(dtype).name
     if force_dtype is not None:
         mode += f"+{jnp.dtype(force_dtype).name}-forces"
+    if hilo:
+        mode += "+hilo-pairs"
+    overflow = False
+    n_final = n
+    if engine_kind != "naive":
+        overflow = bool(state.nbrs.overflow)
+        n_final = int(np.asarray(state.nbrs.occupied).sum())
     print(json.dumps({
         "gate": f"NVE drift per 1e6 steps (E/N, {mode}, dt={dt}, pseudo-HS N={n})",
         "drift_per_1e6_steps": float(drift_per_1e6),
         "target": 1e-4,
-        "pass": bool(drift_per_1e6 < 1e-4),
+        "pass": bool(drift_per_1e6 < 1e-4) and not overflow and n_final == n,
         "nve_steps": int(nve_steps),
         "steps_per_sec": round(nve_steps / elapsed, 1),
         "mean_T": round(float(temps.mean()), 4),
         "mean_P": round(float(pressure), 4),
         "energy_span": [float(energies[0] / n), float(energies[-1] / n)],
+        "overflow": overflow,
+        "n_particles_final": n_final,
     }))
 
 
@@ -130,6 +145,10 @@ if __name__ == "__main__":
     kind = sys.argv[3] if len(sys.argv) > 3 else "f32"
     if kind in ("f64", "mixed", "f32+f64f"):
         jax.config.update("jax_enable_x64", True)
+    # "f32x2": pure-f32 pipeline with the pair sweep consuming the Kahan
+    # (hi, lo) position words — displacements are (hi_i-hi_j)+(lo_i-lo_j),
+    # ~16x less coordinate rounding noise than single-f32 absolute positions
+    # at ~15% sweep cost (vs ~10x cost for the emulated-f64 sweep).
     # "f32+f64f": f32 state (fast compensated integration + delta wrap) with
     # the pair sweep in f64 — the f32->f64 cast is exact, so forces are
     # near-exact gradients of the true state and the f32 force-rounding
@@ -138,9 +157,9 @@ if __name__ == "__main__":
     # "mixed" (f64 state + f32 forces) is kept as a documented NEGATIVE
     # result: forces evaluated at f32-rounded copies of f64 positions inject
     # delta_x * |f'| noise and drift WORSE than pure f32.
-    dtype = {"f32": jnp.float32, "f64": jnp.float64,
-             "mixed": jnp.float64, "f32+f64f": jnp.float32}[kind]
+    dtype = {"f32": jnp.float32, "f64": jnp.float64, "mixed": jnp.float64,
+             "f32+f64f": jnp.float32, "f32x2": jnp.float32}[kind]
     force_dtype = {"mixed": jnp.float32, "f32+f64f": jnp.float64}.get(kind)
     engine_kind = sys.argv[4] if len(sys.argv) > 4 else "cell"
     main(dt=dt, nve_steps=steps, dtype=dtype, force_dtype=force_dtype,
-         engine_kind=engine_kind)
+         engine_kind=engine_kind, hilo=(kind == "f32x2"))

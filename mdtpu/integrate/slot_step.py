@@ -20,9 +20,11 @@ Layout contract:
     true particle count, so temperature/thermostat are unchanged;
   * the periodic wrap is masked to occupied slots (vacant far coordinates
     must never be folded into the box) and applied as a compensated delta;
-  * when any particle drifts past skin/2 the step re-bins IN-LOOP via
-    ``lax.cond``: one argsort + a scatter per array, amortized over the
-    rebuild interval.
+  * when any particle drifts past skin/2 the loop re-bins: one key sort +
+    one packed (R, n_slots) gather + one packed scatter moving ALL state
+    rows at once (~2.4 ms at the 65k bench vs ~21 ms for per-row scatters),
+    amortized over the rebuild interval. ``make_slot_advance`` hoists the
+    rebuild out of the per-step path entirely (nested while_loop).
 
 The role analog in the reference is CellListMap's internally-permuted
 particle storage (it also computes on cell-ordered copies,
@@ -170,16 +172,20 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     cid = sum(coords[k] * int(strides[k]) for k in range(dim))
     cid = jnp.where(occ, cid, n_cells)
 
-    order = jnp.argsort(cid).astype(jnp.int32)
-    cid_sorted = cid[order]
-    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[cid].add(jnp.int32(1))
-    starts = jnp.cumsum(counts) - counts
-    rank = jnp.arange(n_slots, dtype=jnp.int32) - starts[cid_sorted]
-    overflow = jnp.any(counts[:-1] > cap)
-
-    ok = (rank < cap) & (cid_sorted < n_cells)
-    addr_sorted = jnp.where(ok, cid_sorted * cap + rank, n_slots)
-    addr = jnp.zeros((n_slots,), jnp.int32).at[order].set(addr_sorted)
+    # One sort carrying the identity payload gives sorted keys AND the
+    # permutation; within-cell ranks come from a cummax scan over the
+    # first-occurrence positions — no counts scatter-add, no starts gather,
+    # no inverse-permutation scatter (each was ~1 ms at the 65k bench).
+    iota = jnp.arange(n_slots, dtype=jnp.int32)
+    cid_sorted, order = jax.lax.sort((cid, iota), num_keys=1)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool), cid_sorted[1:] != cid_sorted[:-1]])
+    starts_per_elem = jax.lax.cummax(jnp.where(first, iota, 0), axis=0)
+    rank = iota - starts_per_elem
+    real = cid_sorted < n_cells
+    overflow = jnp.any(real & (rank >= cap))
+    addr_sorted = jnp.where(real & (rank < cap), cid_sorted * cap + rank,
+                            n_slots)
 
     rows = jnp.concatenate([
         state.positions,                       # dim rows, far-pad fill
@@ -198,7 +204,8 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
         jnp.ones((1, n_slots + 1), dtype),
         jnp.zeros((1, n_slots + 1), dtype),
     ])
-    packed = base.at[:, addr].set(rows)[:, :-1]
+    rows_sorted = jnp.take(rows, order, axis=1)    # packed gather
+    packed = base.at[:, addr_sorted].set(rows_sorted)[:, :-1]  # packed scatter
 
     positions = packed[0:dim]
     diameters = packed[6 * dim]
@@ -239,7 +246,8 @@ def slot_needs_rebin(state: SimulationState, engine: CellGridEngine):
 
 def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
                    compensated: bool = True, force_dtype=None,
-                   rebin_check: bool = True, observables: bool = True):
+                   rebin_check: bool = True, observables: bool = True,
+                   hilo: bool = False):
     """Fused step over a component-major slot-ordered state (see module
     docstring). ``force_dtype``: evaluate the sweep in this dtype (e.g. f64
     for the NVE drift gate — the upcast is exact, see
@@ -255,8 +263,18 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
     # Brownian accumulates the 10-step-averaged virial in-loop
     # (/root/reference/src/simulation.jl:253-256), so it always observes.
     obs = True if is_brownian else observables
+    if hilo and (force_dtype is not None or not compensated):
+        raise ValueError("hilo pair sweep needs compensated=True and no "
+                         "force_dtype upcast (it IS the precision mechanism)")
 
-    def sweep(x, diameters, cell, cell_inv, nbrs, out_dtype):
+    def sweep(x, diameters, cell, cell_inv, nbrs, out_dtype, xc=None):
+        if hilo:
+            # The Kahan compensation holds the negated low word of the
+            # position (true = x - comp): feed (hi, lo) to the sweep so pair
+            # displacements carry double-f32 precision (see
+            # CellGridEngine.compute_slots pos_lo).
+            return engine.compute_slots(x, diameters, cell, cell_inv, nbrs,
+                                        observables=obs, pos_lo=-xc)
         if force_dtype is not None and x.dtype != force_dtype:
             e, w, f, nbrs = engine.compute_slots(
                 x.astype(force_dtype), diameters.astype(force_dtype),
@@ -304,7 +322,7 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         if is_brownian:
             energy, virial, forces, nbrs = sweep(
                 state.positions, state.diameters, cell, cell_inv, state.nbrs,
-                dtype)
+                dtype, xc=state.pos_comp)
             ktemp = jnp.asarray(ensemble.ktemp, dtype)
             key_step = jax.random.fold_in(state.key, state.step)
             u = jax.random.uniform(key_step, state.positions.shape,
@@ -330,7 +348,7 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         x, xc, images = masked_wrap(x, xc, state.images, occ, cell, cell_inv)
 
         energy, virial, forces, nbrs = sweep(
-            x, state.diameters, cell, cell_inv, state.nbrs, dtype)
+            x, state.diameters, cell, cell_inv, state.nbrs, dtype, xc=xc)
         if not obs:
             # Lean step: scalars weren't accumulated; carry the last observed
             # values (refreshed by the full step at every segment boundary,
@@ -360,7 +378,7 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
 
 def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
                       compensated: bool = True, force_dtype=None,
-                      lean: bool = True):
+                      lean: bool = True, hilo: bool = False):
     """``advance(state, k) -> state`` after k fused slot steps, with the skin
     rebuild hoisted OUT of the per-step path and (``lean=True``) the
     energy/virial accumulation skipped on all but the last step.
@@ -379,10 +397,11 @@ def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
     observable-free steps are this framework's redesign."""
     step = make_slot_step(params, ensemble, engine, compensated=compensated,
                           force_dtype=force_dtype, rebin_check=False,
-                          observables=not lean)
+                          observables=not lean, hilo=hilo)
     last_step = make_slot_step(params, ensemble, engine,
                                compensated=compensated,
-                               force_dtype=force_dtype, rebin_check=True)
+                               force_dtype=force_dtype, rebin_check=True,
+                               hilo=hilo)
 
     def needs(state):
         return slot_needs_rebin(state, engine)

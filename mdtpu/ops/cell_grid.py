@@ -84,6 +84,24 @@ def ghost_z_window(a, ghost_shift=None):
     return jnp.concatenate([zm, a, zp], axis=3)
 
 
+def ghost_z_window_hilo(hi, lo, ghost_shift):
+    """Hi/lo (double-f32) z-window pair: the ghost image shift is applied to
+    the hi word through an error-free two_sum, its rounding residual folded
+    into the lo word — wrapped-plane coordinates stay exact to the two-float
+    representation (a plain ``hi +- L`` would inject ~eps*L noise into every
+    boundary pair, defeating the hi/lo pair sweep)."""
+    from mdtpu.utils.math import two_sum
+
+    sm, rm = two_sum(hi[:, :, -1:], -ghost_shift)
+    sp, rp = two_sum(hi[:, :, :1], ghost_shift)
+    zm_hi = jnp.concatenate([sm, hi[:, :, :-1]], axis=2)
+    zp_hi = jnp.concatenate([hi[:, :, 1:], sp], axis=2)
+    zm_lo = jnp.concatenate([lo[:, :, -1:] + rm, lo[:, :, :-1]], axis=2)
+    zp_lo = jnp.concatenate([lo[:, :, 1:], lo[:, :, :1] + rp], axis=2)
+    return (jnp.concatenate([zm_hi, hi, zp_hi], axis=3),
+            jnp.concatenate([zm_lo, lo, zp_lo], axis=3))
+
+
 @struct.dataclass
 class CellGridState:
     addr: jnp.ndarray           # (N,) slot address of each particle: cid*C + rank
@@ -119,6 +137,51 @@ class CellGridEngine:
             cell_capacity = int(math.ceil(mean_occ + 3.5 * math.sqrt(mean_occ) + 2))
         return cls(potential=potential, cutoff=float(cutoff), skin=float(skin),
                    grid=grid, cell_capacity=int(cell_capacity))
+
+    @classmethod
+    def create_tuned(cls, potential, cutoff, unitcell, n_particles,
+                     min_skin=0.3, occ_sigma=2.5):
+        """Pick the (grid, capacity, skin) minimizing padded-lane cost.
+
+        The z-window pair blocks are (C, 3C) tiles padded to (ceil8(C),
+        ceil128(3C)) vregs, so the true sweep cost is n_cells * ceil8(C) *
+        ceil128(3C) — NOT the naive C^2 count. Small cells (cutoff + min
+        skin) give C ~ 15 whose 45-lane window wastes 65% of every vreg;
+        fatter cells with C ~ 36-42 fill the 128 lanes and, despite more
+        real pair candidates, cost up to ~2x less padded compute AND rebuild
+        ~4x less often (skin = cell - cutoff grows). Enumerates every
+        feasible cubic grid and takes the argmin.
+
+        The reference's CellListMap always uses cutoff-sized cells
+        (/root/reference/src/initialization.jl:100-107) — correct for
+        sparse CPU traversal, wrong for dense TPU tiles."""
+        u = np.asarray(unitcell, np.float64)
+        lengths = [float(np.linalg.norm(u[:, k])) for k in range(u.shape[0])]
+        L = min(lengths)
+        volume = abs(float(np.linalg.det(u)))
+        g_max = int(L / (cutoff + min_skin))
+        if g_max < 3:
+            raise ValueError(
+                "box too small for a cell grid at this cutoff; use NaivePairEngine"
+            )
+        best = None
+        for g in range(3, g_max + 1):
+            # g cells along the shortest box vector; other axes scaled to
+            # keep cells near-cubic.
+            grids = tuple(max(3, int(g * lengths[k] / L + 1e-9))
+                          for k in range(len(lengths)))
+            n_cells = int(np.prod(grids))
+            mean = n_particles / n_cells
+            cap = int(math.ceil(mean + occ_sigma * math.sqrt(mean) + 4))
+            subl = -(-cap // 8) * 8
+            lanes = -(-(3 * cap) // 128) * 128
+            cost = n_cells * subl * lanes
+            if best is None or cost < best[0]:
+                best = (cost, grids, cap)
+        _, grids, cap = best
+        skin = min(lengths[k] / grids[k] for k in range(len(lengths))) - cutoff
+        return cls(potential=potential, cutoff=float(cutoff),
+                   skin=float(skin), grid=grids, cell_capacity=cap)
 
     def with_grown_capacity(self):
         return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
@@ -219,7 +282,8 @@ class CellGridEngine:
             [f_own[k].reshape(-1)[nbrs.addr] for k in range(dim)], axis=-1)
         return energy, virial, forces, nbrs
 
-    def _zwindow_sweep(self, grids, diam, cell, observables=True):
+    def _zwindow_sweep(self, grids, diam, cell, observables=True,
+                       grids_lo=None):
         """Ghosted z-window half-stencil sweep over slot grids.
 
         grids: per-component (nx, ny, nz, C) slot coordinates (far-pad
@@ -233,6 +297,16 @@ class CellGridEngine:
         *writes* thermo every ``frequency`` steps,
         /root/reference/src/simulation.jl:118-136) skip ~20% of the pair
         sweep this way.
+
+        ``grids_lo``: optional low words of a double-f32 (hi+lo) coordinate
+        representation. Pair displacements are then computed as
+        ``(hi_i - hi_j) + (lo_i - lo_j)``: the hi difference of nearby values
+        rounds at ulp(r) ~ 1e-7 instead of carrying the ~eps*L ~ 3e-6
+        truncation of single-f32 absolute coordinates — forces become
+        near-exact gradients of the true (compensated) state at f32 speed,
+        which is what the NVE drift gate needs (see gates.py 'f32x2').
+        Ghost image shifts go through error-free two_sums so boundary pairs
+        keep the full precision.
         """
         dim = len(grids)
         dtype = grids[0].dtype
@@ -240,13 +314,21 @@ class CellGridEngine:
         nx, ny, nz = self.grid
         n_cells = nx * ny * nz
 
-        cutoff2 = jnp.asarray(self.cutoff * self.cutoff, dtype)
 
         # Ghost image shifts are full cell vectors (columns of the cell), so
         # tilted (triclinic) cells work identically: wrapping across grid
         # axis a shifts component k by cell[k, a] (zero off-diagonals for
         # orthorhombic boxes — the adds cost nothing on the small windows).
-        win = [ghost_z_window(grids[k], cell[k, 2]) for k in range(dim)]
+        hilo = grids_lo is not None
+        if hilo:
+            pairs = [ghost_z_window_hilo(grids[k], grids_lo[k], cell[k, 2])
+                     for k in range(dim)]
+            win = [p[0] for p in pairs]
+            win_lo = [p[1] for p in pairs]
+            own_lo = [g.reshape(n_cells, cap, 1) for g in grids_lo]
+        else:
+            win = [ghost_z_window(grids[k], cell[k, 2]) for k in range(dim)]
+            win_lo = own_lo = None
         win_diam = ghost_z_window(diam)
 
         own = [g.reshape(n_cells, cap, 1) for g in grids]
@@ -260,25 +342,41 @@ class CellGridEngine:
                               jnp.asarray(1e30, dtype),
                               jnp.zeros((), dtype))[None, :, :]
 
-        def pair_block(wc, wd, exclude_self):
+        def pair_block(wc, wd, exclude_self, wc_lo=None):
             wc = [w.reshape(n_cells, 1, 3 * cap) for w in wc]
             wd = wd.reshape(n_cells, 1, 3 * cap)
-            d_comps = [own[k] - wc[k] for k in range(dim)]
+            if wc_lo is not None:
+                # Error-free hi difference (two_sum) + the lo difference:
+                # displacements exact to O(ulp^2) — a plain hi difference
+                # still rounds at ulp(r) ~ 1.2e-7, which measured 2.8e-4
+                # drift/1e6 steps on the NVE gate (3x over target).
+                from mdtpu.utils.math import two_sum
+
+                wc_lo = [w.reshape(n_cells, 1, 3 * cap) for w in wc_lo]
+                d_comps = []
+                for k in range(dim):
+                    s, e = two_sum(own[k], -wc[k])
+                    d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
+            else:
+                d_comps = [own[k] - wc[k] for k in range(dim)]
             r2 = sum(dk * dk for dk in d_comps)
             if exclude_self:
                 r2 = r2 + diag_bump
-            mask = r2 < cutoff2
+            # No engine-level cutoff mask: the potential contract
+            # (potentials/base.py) guarantees exact zeros beyond the
+            # potential's own cutoff, which also kills far-pad vacants
+            # (r2 ~ 1e12) and the self-pair diag bump (r2 ~ 1e30) — the
+            # cmp + selects were ~8% of the sweep.
             if observables:
                 u, f_over_r = self.potential.evaluate_r2(r2, own_diam3, wd)
-                u = jnp.where(mask, u, jnp.zeros_like(u))
             else:
                 u = None
                 f_over_r = self.potential.force_r2(r2, own_diam3, wd)
-            f_over_r = jnp.where(mask, f_over_r, jnp.zeros_like(f_over_r))
             return u, f_over_r, r2, d_comps
 
         # Self column (ox = oy = 0): every pair appears from both sides.
-        u, f_over_r, r2s, d_comps = pair_block(win, win_diam, True)
+        u, f_over_r, r2s, d_comps = pair_block(win, win_diam, True,
+                                               wc_lo=win_lo)
         if observables:
             energy = 0.5 * jnp.sum(u)
             virial = 0.5 * jnp.sum(f_over_r * r2s)
@@ -309,12 +407,40 @@ class CellGridEngine:
                 w = jnp.concatenate([right, w[:, :-1]], axis=1)
             return w
 
+        def plane_shift_hilo(w, w_lo, ox, oy, gx, gy):
+            """plane_shift with the ghost shifts two_summed into the lo word
+            (see ghost_z_window_hilo)."""
+            from mdtpu.utils.math import two_sum
+
+            if ox == 1:
+                top, r = two_sum(w[:1], gx)
+                w = jnp.concatenate([w[1:], top], axis=0)
+                w_lo = jnp.concatenate([w_lo[1:], w_lo[:1] + r], axis=0)
+            if oy == 1:
+                left, r = two_sum(w[:, :1], gy)
+                w = jnp.concatenate([w[:, 1:], left], axis=1)
+                w_lo = jnp.concatenate([w_lo[:, 1:], w_lo[:, :1] + r], axis=1)
+            elif oy == -1:
+                right, r = two_sum(w[:, -1:], -gy)
+                w = jnp.concatenate([right, w[:, :-1]], axis=1)
+                w_lo = jnp.concatenate([w_lo[:, -1:] + r, w_lo[:, :-1]],
+                                       axis=1)
+            return w, w_lo
+
         # In-plane Newton half stencil.
         for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
-            wc = [plane_shift(win[k], ox, oy, cell[k, 0], cell[k, 1])
-                  for k in range(dim)]
+            if hilo:
+                shifted = [plane_shift_hilo(win[k], win_lo[k], ox, oy,
+                                            cell[k, 0], cell[k, 1])
+                           for k in range(dim)]
+                wc = [s[0] for s in shifted]
+                wc_lo = [s[1] for s in shifted]
+            else:
+                wc = [plane_shift(win[k], ox, oy, cell[k, 0], cell[k, 1])
+                      for k in range(dim)]
+                wc_lo = None
             wd = plane_shift(win_diam, ox, oy, None, None)
-            u, f_over_r, r2s, d_comps = pair_block(wc, wd, False)
+            u, f_over_r, r2s, d_comps = pair_block(wc, wd, False, wc_lo=wc_lo)
             if observables:
                 energy = energy + jnp.sum(u)
                 virial = virial + jnp.sum(f_over_r * r2s)
@@ -330,7 +456,7 @@ class CellGridEngine:
         return energy, virial, [f_own[k] for k in range(dim)]
 
     def compute_slots(self, positions, diameters, cell, cell_inv,
-                      nbrs: CellGridState, observables=True):
+                      nbrs: CellGridState, observables=True, pos_lo=None):
         """Slot-space sweep: positions are ALREADY in cell-sorted slot order
         and component-major — shape (d, n_cells * C) with far-pad vacants —
         so there is no per-step scatter into the grid and no gather back; on
@@ -350,15 +476,33 @@ class CellGridEngine:
         disp = [positions[k] - ref[k] for k in range(dim)]
         frac = [sum(cell_inv[k, j] * disp[j] for j in range(dim))
                 for k in range(dim)]
-        frac = [f - jnp.round(f) for f in frac]
-        grids = [
-            (ref[k] + sum(cell[k, j] * frac[j] for j in range(dim)))
-            .reshape(shape)
-            for k in range(dim)
-        ]
         diam = diameters.reshape(shape)
-        energy, virial, f_own = self._zwindow_sweep(grids, diam, cell,
-                                                    observables=observables)
+        if pos_lo is None:
+            frac = [f - jnp.round(f) for f in frac]
+            grids = [
+                (ref[k] + sum(cell[k, j] * frac[j] for j in range(dim)))
+                .reshape(shape)
+                for k in range(dim)
+            ]
+            energy, virial, f_own = self._zwindow_sweep(
+                grids, diam, cell, observables=observables)
+        else:
+            # Hi/lo (double-f32) path: the effective coordinate is
+            # x + (lattice shift for recently wrapped particles), built with
+            # an error-free two_sum so the hi/lo pair stays a faithful
+            # two-float representation of the compensated position.
+            from mdtpu.utils.math import two_sum
+
+            m = [jnp.round(f) for f in frac]
+            grids, grids_lo = [], []
+            for k in range(dim):
+                delta = -sum(cell[k, j] * m[j] for j in range(dim))
+                hi, r = two_sum(positions[k], delta)
+                grids.append(hi.reshape(shape))
+                grids_lo.append((pos_lo[k] + r).reshape(shape))
+            energy, virial, f_own = self._zwindow_sweep(
+                grids, diam, cell, observables=observables,
+                grids_lo=grids_lo)
         forces = jnp.stack([f.reshape(-1) for f in f_own])
         return energy, virial, forces, nbrs
 

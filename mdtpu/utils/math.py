@@ -31,6 +31,16 @@ def ipow(x, n: int):
     return result
 
 
+def two_sum(a, b):
+    """Error-free transform: s = fl(a + b) and the exact residual r with
+    a + b == s + r (Knuth; no magnitude ordering assumed). 6 VPU ops."""
+    s = a + b
+    bb = s - a
+    err_b = b - bb
+    err_a = a - (s - bb)
+    return s, err_a + err_b
+
+
 def kahan_add(x, comp, dx):
     """One step of Kahan (compensated) summation: returns (x', comp').
 

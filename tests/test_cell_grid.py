@@ -154,3 +154,64 @@ def test_select_engine_triclinic_uses_cell_grid():
     cell = np.asarray([[L, 3.0, 0.0], [0.0, L, 2.0], [0.0, 0.0, L]])
     eng = select_engine(PseudoHS(), 1.5, unitcell=cell, n_particles=8192)
     assert isinstance(eng, CellGridEngine)
+
+
+def test_hilo_pair_sweep_beats_plain_f32_accuracy():
+    # Double-f32 (hi+lo) coordinates: pair displacements carry the Kahan low
+    # word, so f32 force error vs the f64 oracle must drop well below the
+    # plain-f32 sweep's (the NVE-gate 'f32x2' mechanism).
+    from mdtpu.integrate.slot_step import _scatter_rows
+    from mdtpu.ops.cell_grid import CellGridState
+
+    key = jax.random.PRNGKey(3)
+    n, rho, d = 512, 0.7, 3
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    from mdtpu.sim.initialization import lattice_positions
+
+    L = (n / rho) ** (1.0 / 3.0)
+    cell64 = jnp.eye(3, dtype=jnp.float64) * L
+    pos64 = lattice_positions(n, cell64, 3, dtype=jnp.float64, jitter=0.12,
+                              key=key)
+    diam64 = jnp.ones(n, jnp.float64)
+
+    naive = NaivePairEngine(potential=pot, cutoff=1.5)
+    _, _, f_ref, _ = naive.compute(pos64, diam64, cell64,
+                                   jnp.linalg.inv(cell64), ())
+
+    hi = pos64.astype(jnp.float32)
+    lo = (pos64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    cell32 = cell64.astype(jnp.float32)
+    cinv32 = jnp.linalg.inv(cell64).astype(jnp.float32)
+    diam32 = diam64.astype(jnp.float32)
+
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell64), n)
+    nbrs = eng.allocate(hi, diam32, cell32, cinv32)
+    assert not bool(nbrs.overflow)
+    cap = eng.cell_capacity
+    n_slots = int(np.prod(eng.grid)) * cap
+    addr = nbrs.addr
+
+    hi_rows = _scatter_rows(hi.T, addr, n_slots, "far")
+    lo_rows = _scatter_rows(lo.T, addr, n_slots, 0)
+    occupied = jnp.zeros((n_slots + 1,), bool).at[addr].set(True)[:-1]
+    diam_slot = jnp.ones((n_slots + 1,), jnp.float32).at[addr].set(diam32)[:-1]
+    slot_nbrs = CellGridState(
+        addr=jnp.arange(n_slots, dtype=jnp.int32), occupied=occupied,
+        sorted_comps=hi_rows, sorted_diam=diam_slot, ref_positions=hi_rows,
+        overflow=nbrs.overflow)
+
+    _, _, f_plain, _ = eng.compute_slots(hi_rows, diam_slot, cell32, cinv32,
+                                         slot_nbrs)
+    _, _, f_hilo, _ = eng.compute_slots(hi_rows, diam_slot, cell32, cinv32,
+                                        slot_nbrs, pos_lo=lo_rows)
+
+    # Map the oracle forces into slot order for comparison.
+    f_ref_slots = np.zeros((3, n_slots))
+    f_ref_slots[:, np.asarray(addr)] = np.asarray(f_ref).T
+    scale = np.abs(np.asarray(f_ref)).max()
+    err_plain = np.abs(np.asarray(f_plain, np.float64) - f_ref_slots).max() / scale
+    err_hilo = np.abs(np.asarray(f_hilo, np.float64) - f_ref_slots).max() / scale
+    assert err_hilo < err_plain / 3, (err_hilo, err_plain)
+    # Residual floor = the f32 potential-kernel arithmetic itself (~few ulp
+    # of the max pair force); coordinate-truncation noise is gone.
+    assert err_hilo < 1e-6, err_hilo
