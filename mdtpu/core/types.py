@@ -66,6 +66,11 @@ class SimulationState:
     # reference: /root/reference/src/simulation.jl:253-256).
     virial_accum: jnp.ndarray = struct.field(default=None)
     nprom: jnp.ndarray = struct.field(default=None)
+    # Original particle indices, used ONLY by the slot-space layout
+    # (mdtpu.integrate.slot_step) where rebuild re-sorts rows: outputs and
+    # the final state are restored to original particle order through this.
+    # None in the ordinary (N, d) particle-order layout.
+    ids: Optional[jnp.ndarray] = None     # (n_slots,) int32 or None
     # Engine cutoff, static (the reference bakes it into the CellListMap
     # system at init, /root/reference/src/initialization.jl:100-107).
     cutoff: float = struct.field(pytree_node=False, default=1.5)

@@ -111,6 +111,7 @@ def slotify(state: SimulationState, engine: CellGridEngine) -> SimulationState:
         diameters=put1(state.diameters, 1),
         pos_comp=put(state.pos_comp, 0),
         vel_comp=put(state.vel_comp, 0),
+        ids=put1(jnp.arange(n, dtype=jnp.int32), -1),
         nbrs=slot_nbrs,
     )
 
@@ -144,6 +145,36 @@ def unslotify_arrays(state: SimulationState):
     out.append(np.asarray(state.diameters)[occ])
     out.append(np.asarray(state.images).T[occ])
     return tuple(out)
+
+
+def unslotify_state(state: SimulationState) -> SimulationState:
+    """Restore a slot-layout state to an ordinary (N, d) particle-order
+    state, rows sorted back to ORIGINAL particle order via ``state.ids``
+    (slot order changes at every rebuild; stable ids are what make
+    trajectory rows and resumed runs meaningful). Host-side (numpy): used
+    at driver output/checkpoint boundaries and at the end of a run.
+    ``nbrs`` is dropped (rebuilt lazily by whichever engine runs next)."""
+    occ = np.asarray(state.nbrs.occupied)
+    ids = np.asarray(state.ids)[occ]
+    order = np.argsort(ids)
+
+    def take2(a):
+        return jnp.asarray(np.asarray(a).T[occ][order])
+
+    def take1(a):
+        return jnp.asarray(np.asarray(a)[occ][order])
+
+    return state.replace(
+        positions=take2(state.positions),
+        velocities=take2(state.velocities),
+        forces=take2(state.forces),
+        images=take2(state.images),
+        pos_comp=take2(state.pos_comp),
+        vel_comp=take2(state.vel_comp),
+        diameters=take1(state.diameters),
+        ids=None,
+        nbrs=None,
+    )
 
 
 def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
@@ -196,14 +227,16 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
         state.images.astype(dtype),            # dim (int counts, f32-exact)
         state.diameters[None],                 # 1, fill 1
         occ.astype(dtype)[None],               # 1, fill 0
-    ])
+    ] + ([state.ids.astype(dtype)[None]]       # 1, fill -1 (ids < 2^24)
+         if state.ids is not None else []))
     far = _far_row(n_slots, dtype)
     base = jnp.concatenate([
         jnp.broadcast_to(far[None], (dim, n_slots + 1)),
         jnp.zeros((5 * dim, n_slots + 1), dtype),
         jnp.ones((1, n_slots + 1), dtype),
         jnp.zeros((1, n_slots + 1), dtype),
-    ])
+    ] + ([jnp.full((1, n_slots + 1), -1, dtype)]
+         if state.ids is not None else []))
     rows_sorted = jnp.take(rows, order, axis=1)    # packed gather
     packed = base.at[:, addr_sorted].set(rows_sorted)[:, :-1]  # packed scatter
 
@@ -224,6 +257,8 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
         vel_comp=packed[4 * dim:5 * dim],
         images=packed[5 * dim:6 * dim].astype(state.images.dtype),
         diameters=diameters,
+        ids=(packed[6 * dim + 2].astype(jnp.int32)
+             if state.ids is not None else None),
         nbrs=nbrs,
     )
 

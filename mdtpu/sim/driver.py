@@ -117,20 +117,40 @@ def run_simulation(
     e_lrc = float(potential.energy_lrc(n, volume))
     p_lrc = float(potential.pressure_lrc(n, volume))
 
-    # Materialise engine state + initial forces (deliberate fix: the
-    # reference's first half-kick uses zero forces).
-    if state.nbrs is None:
-        nbrs = engine.allocate(state.positions, state.diameters,
-                               state.unitcell, state.unitcell_inv)
-        state = state.replace(nbrs=nbrs)
-    if not is_brownian:
-        e0, w0, f0, nbrs = engine_forces(engine, state.positions, state.diameters,
-                                         state.unitcell, state.unitcell_inv,
-                                         state.nbrs)
-        state = state.replace(forces=f0, energy=e0, virial=w0, nbrs=nbrs)
+    # Slot-space fast path: for the 3D cell-grid engine the whole state runs
+    # in cell-sorted component-major slot order (no per-step scatter/gather,
+    # rebuild hoisted out of the step, observable-free inner steps) —
+    # measured 3.7x the particle-order step at the N=65k bench. Outputs and
+    # the returned state are restored to original particle order via the
+    # carried ids row.
+    from mdtpu.ops.cell_grid import CellGridEngine
 
-    step_fn = make_step(params, ensemble, engine, compensated=compensated)
-    advance = _make_advance(step_fn)
+    use_slot = (isinstance(engine, CellGridEngine)
+                and state.dimension == 3 and len(engine.grid) == 3
+                and compensated)
+    if use_slot:
+        from mdtpu.integrate.slot_step import (
+            make_slot_advance, slot_forces, slotify, unslotify_state)
+
+        state = slot_forces(slotify(state, engine), engine)
+        advance = jax.jit(make_slot_advance(params, ensemble, engine,
+                                            compensated=compensated))
+        step_fn = None
+    else:
+        # Materialise engine state + initial forces (deliberate fix: the
+        # reference's first half-kick uses zero forces).
+        if state.nbrs is None:
+            nbrs = engine.allocate(state.positions, state.diameters,
+                                   state.unitcell, state.unitcell_inv)
+            state = state.replace(nbrs=nbrs)
+        if not is_brownian:
+            e0, w0, f0, nbrs = engine_forces(engine, state.positions,
+                                             state.diameters, state.unitcell,
+                                             state.unitcell_inv, state.nbrs)
+            state = state.replace(forces=f0, energy=e0, virial=w0, nbrs=nbrs)
+
+        step_fn = make_step(params, ensemble, engine, compensated=compensated)
+        advance = _make_advance(step_fn)
 
     start_step = int(state.step)
 
@@ -155,6 +175,14 @@ def run_simulation(
         if pending_item is None:
             return
         s, dev = pending_item
+        if use_slot:
+            # Compact real rows and restore original particle order.
+            occ = np.asarray(dev["occupied"])
+            order = np.argsort(np.asarray(dev["ids"])[occ])
+            dev = dict(dev)
+            for name in ("positions", "images"):
+                dev[name] = np.asarray(dev[name]).T[occ][order]
+            dev["diameters"] = np.asarray(dev["diameters"])[occ][order]
         e = float(dev["energy"])
         t = float(dev["temperature"])
         if is_brownian:
@@ -189,6 +217,12 @@ def run_simulation(
         if not bool(nbrs.overflow):
             return state, engine, advance, step_fn
         engine = engine.with_grown_capacity()
+        if use_slot:
+            state = slot_forces(slotify(unslotify_state(state), engine),
+                                engine)
+            advance = jax.jit(make_slot_advance(params, ensemble, engine,
+                                                compensated=compensated))
+            return state, engine, advance, step_fn
         nbrs = engine.allocate(state.positions, state.diameters,
                                state.unitcell, state.unitcell_inv)
         state = state.replace(nbrs=nbrs)
@@ -222,6 +256,9 @@ def run_simulation(
             "images": state.images, "unitcell": state.unitcell,
             "diameters": state.diameters,
         }
+        if use_slot:
+            dev["occupied"] = state.nbrs.occupied
+            dev["ids"] = state.ids
         if is_brownian and ev in thermo_steps:
             # Reset accumulators after output
             # (/root/reference/src/simulation.jl:266).
@@ -234,12 +271,19 @@ def run_simulation(
         if checkpoint_every is not None and ev % checkpoint_every == 0:
             from mdtpu.io.checkpoint import save_checkpoint
 
-            save_checkpoint(state, os.path.join(pathname, f"checkpoint.{ev}.npz"))
+            ck_state = unslotify_state(state) if use_slot else state
+            save_checkpoint(ck_state,
+                            os.path.join(pathname, f"checkpoint.{ev}.npz"))
 
     if current < end_step:
         state = advance(state, end_step - current)
     flush(pending)
     traj_writer.close()
+
+    if use_slot:
+        # Back to the public (N, d) particle-order layout for final.xyz and
+        # the returned state (original particle order via ids).
+        state = unslotify_state(state)
 
     # Compression already streamed into trajectory.xyz.zst above.
     finalize_simulation(trajectory_file, pathname, end_step, state,

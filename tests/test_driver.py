@@ -157,3 +157,42 @@ def test_log_times_resume_does_not_rewind(small_system):
     lines = open(os.path.join(path, "resumed", "thermo.txt")).read().splitlines()
     labels = [int(l.split()[0]) for l in lines[1:]]
     assert labels == [40, 60]
+
+
+def test_driver_slot_fast_path_matches_naive(tmp_path):
+    """A cell-grid engine routes the driver through the slot-space fast path
+    (component-major state, hoisted rebuilds, lean inner steps). Outputs and
+    the returned state must come back in ORIGINAL particle order and match
+    the naive-engine particle-order run to summation-rounding tolerance."""
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    pot = PseudoHS()
+    n = 500
+    params = Parameters(density=0.5, n_particles=n, dt=0.001, potential=pot)
+    state = initialize_state(params, str(tmp_path), dimension=3, cutoff=1.5,
+                             dtype=jnp.float64, seed=3)
+    v = initialize_velocities(1.0, jax.random.PRNGKey(4), n, 3,
+                              dtype=jnp.float64)
+    state = state.replace(velocities=v)
+
+    eng = CellGridEngine.create(pot, 1.5, 0.15, np.asarray(state.unitcell), n)
+    p_slot, p_ref = str(tmp_path / "slot"), str(tmp_path / "ref")
+    out_slot = run_simulation(state, params, NVT(1.0, 0.1), 60, 20, p_slot,
+                              engine=eng)
+    out_ref = run_simulation(state, params, NVT(1.0, 0.1), 60, 20, p_ref,
+                             engine=NaivePairEngine(potential=pot, cutoff=1.5))
+
+    assert out_slot.ids is None and out_slot.positions.shape == (n, 3)
+    np.testing.assert_allclose(np.asarray(out_slot.positions),
+                               np.asarray(out_ref.positions),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out_slot.velocities),
+                               np.asarray(out_ref.velocities),
+                               rtol=1e-7, atol=1e-9)
+    # thermo rows match to f64 reduction tolerance
+    rows_s = np.loadtxt(os.path.join(p_slot, "thermo.txt"))
+    rows_r = np.loadtxt(os.path.join(p_ref, "thermo.txt"))
+    np.testing.assert_allclose(rows_s, rows_r, rtol=1e-6, atol=1e-7)
+    # trajectory frames parse with stable per-particle rows
+    traj = open(os.path.join(p_slot, "trajectory.xyz")).read()
+    assert traj.count("ITEM: TIMESTEP") == 3
