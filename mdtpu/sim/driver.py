@@ -282,8 +282,14 @@ def run_simulation(
 
     if use_slot:
         # Back to the public (N, d) particle-order layout for final.xyz and
-        # the returned state (original particle order via ids).
+        # the returned state (original particle order via ids). Re-allocate
+        # particle-order engine state so the returned pytree matches what
+        # the non-slot path returns (callers run it straight into jitted
+        # loops whose carry structure must not change).
         state = unslotify_state(state)
+        state = state.replace(nbrs=engine.allocate(
+            state.positions, state.diameters, state.unitcell,
+            state.unitcell_inv))
 
     # Compression already streamed into trajectory.xyz.zst above.
     finalize_simulation(trajectory_file, pathname, end_step, state,
