@@ -18,8 +18,12 @@ Layout contract:
     coordinates, zero velocities/forces, unit diameters;
   * ``state.nbrs.occupied`` marks real slots; ``state.nf`` still encodes the
     true particle count, so temperature/thermostat are unchanged;
-  * the periodic wrap is masked to occupied slots (vacant far coordinates
-    must never be folded into the box) and applied as a compensated delta;
+  * the periodic wrap is DEFERRED to rebuild time: between rebuilds
+    positions drift unwrapped (bounded by skin/2), so the step pays neither
+    the per-step fold nor any per-slot minimum-image work in the sweep; the
+    rebuild folds occupied rows through the compensated add and accumulates
+    crossing counts into ``images``. Outputs fold the residual drift on the
+    host;
   * when any particle drifts past skin/2 the loop re-bins: one key sort +
     one packed (R, n_slots) gather + one packed scatter moving ALL state
     rows at once (~2.4 ms at the 65k bench vs ~21 ms for per-row scatters),
@@ -134,17 +138,30 @@ def slot_forces(state: SimulationState, engine: CellGridEngine,
     return state.replace(forces=f, energy=e, virial=w, nbrs=nbrs)
 
 
+def _host_wrap(pos, images, cell):
+    """Fold (N, d) positions into the box, accumulating crossing counts
+    into images (numpy, f64 arithmetic). Deferred wrap leaves up to skin/2
+    of unwrapped drift between rebuilds; outputs and returned states fold
+    it here."""
+    cell64 = np.asarray(cell, np.float64)
+    frac = np.asarray(pos, np.float64) @ np.linalg.inv(cell64).T
+    n = np.floor(frac)
+    pos = (np.asarray(pos, np.float64) - n @ cell64.T).astype(
+        np.asarray(pos).dtype)
+    return pos, np.asarray(images) + n.astype(np.asarray(images).dtype)
+
+
 def unslotify_arrays(state: SimulationState):
     """(positions, velocities, diameters, images) of the real rows as numpy
     (N, d) arrays (row order is the current slot order, not the original
-    particle order)."""
+    particle order). Positions are folded into the box (deferred wrap)."""
     occ = np.asarray(state.nbrs.occupied)
-    out = []
-    for a in (state.positions, state.velocities):
-        out.append(np.asarray(a).T[occ])
-    out.append(np.asarray(state.diameters)[occ])
-    out.append(np.asarray(state.images).T[occ])
-    return tuple(out)
+    pos = np.asarray(state.positions).T[occ]
+    vel = np.asarray(state.velocities).T[occ]
+    diam = np.asarray(state.diameters)[occ]
+    images = np.asarray(state.images).T[occ]
+    pos, images = _host_wrap(pos, images, state.unitcell)
+    return pos, vel, diam, images
 
 
 def unslotify_state(state: SimulationState) -> SimulationState:
@@ -159,18 +176,24 @@ def unslotify_state(state: SimulationState) -> SimulationState:
     order = np.argsort(ids)
 
     def take2(a):
-        return jnp.asarray(np.asarray(a).T[occ][order])
+        return np.asarray(a).T[occ][order]
 
     def take1(a):
         return jnp.asarray(np.asarray(a)[occ][order])
 
+    # Fold the deferred-wrap residual drift (<= skin/2) into the box. The
+    # f32 re-rounding this applies to recently-crossed coordinates is the
+    # same class of rounding the per-step wrap used to apply every step;
+    # pos_comp keeps its (approximate) low-word role.
+    pos, images = _host_wrap(take2(state.positions), take2(state.images),
+                             state.unitcell)
     return state.replace(
-        positions=take2(state.positions),
-        velocities=take2(state.velocities),
-        forces=take2(state.forces),
-        images=take2(state.images),
-        pos_comp=take2(state.pos_comp),
-        vel_comp=take2(state.vel_comp),
+        positions=jnp.asarray(pos),
+        velocities=jnp.asarray(take2(state.velocities)),
+        forces=jnp.asarray(take2(state.forces)),
+        images=jnp.asarray(images),
+        pos_comp=jnp.asarray(take2(state.pos_comp)),
+        vel_comp=jnp.asarray(take2(state.vel_comp)),
         diameters=take1(state.diameters),
         ids=None,
         nbrs=None,
@@ -185,7 +208,16 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     vectorize over the scattered slice: 21 separate row scatters cost ~21 ms
     at the 65k bench, the packed form 1.35 ms (probe_rebin) — so everything,
     including the int32 images and the bool occupancy mask, rides the one
-    f32 scatter (image counts and 0/1 flags are exact in f32)."""
+    f32 scatter (image counts and 0/1 flags are exact in f32).
+
+    DEFERRED WRAP happens here too: between rebuilds positions drift
+    unwrapped (saving the per-step fold AND the sweep's per-slot MIC), so
+    the rebuild first folds every occupied position into the box through
+    the compensated (Kahan) add and accumulates the crossing counts into
+    ``images`` — exactly what the per-step wrap used to do, amortized over
+    the rebuild interval."""
+    from mdtpu.utils.math import kahan_add
+
     dim = state.positions.shape[0]
     cap = engine.cell_capacity
     n_cells = int(np.prod(engine.grid))
@@ -195,8 +227,17 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
 
     occ = state.nbrs.occupied
     frac = _frac_components(state.positions, state.unitcell_inv)
-    coords = [jnp.clip((f - jnp.floor(f)) * grid[k], 0, grid[k] - 1)
-              .astype(jnp.int32) for k, f in enumerate(frac)]
+    n_cross = [jnp.where(occ, jnp.floor(f), jnp.zeros_like(f)) for f in frac]
+    delta = jnp.stack([
+        -sum(state.unitcell[k, j] * n_cross[j] for j in range(dim))
+        for k in range(dim)])
+    positions, pos_comp = kahan_add(state.positions, state.pos_comp, delta)
+    images = state.images + jnp.stack(n_cross).astype(state.images.dtype)
+    state = state.replace(positions=positions, pos_comp=pos_comp,
+                          images=images)
+    frac = [f - n for f, n in zip(frac, n_cross)]  # fractional, in [0, 1)
+    coords = [jnp.clip((f * grid[k]).astype(jnp.int32), 0, grid[k] - 1)
+              for k, f in enumerate(frac)]
     strides = np.concatenate(
         [np.cumprod(np.asarray(engine.grid)[::-1])[-2::-1], [1]]
     ).astype(np.int32)
@@ -264,17 +305,14 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
 
 
 def slot_needs_rebin(state: SimulationState, engine: CellGridEngine):
-    """True when any particle drifted past skin/2 from its binning reference
-    (same criterion as CellGridEngine.needs_rebuild, in slot component form)."""
+    """True when any particle drifted past skin/2 from its binning reference.
+
+    Deferred wrap makes this a PLAIN Cartesian distance: positions never
+    fold between rebuilds, so x - ref is the true displacement (no
+    fractional minimum-image round trip)."""
     dim = state.positions.shape[0]
-    disp = [state.positions[k] - state.nbrs.ref_positions[k]
-            for k in range(dim)]
-    frac = _frac_components(jnp.stack(disp), state.unitcell_inv)
-    frac = [f - jnp.round(f) for f in frac]
-    cell = state.unitcell
-    d2 = sum(
-        sum(cell[k, j] * frac[j] for j in range(dim)) ** 2
-        for k in range(dim))
+    d2 = sum((state.positions[k] - state.nbrs.ref_positions[k]) ** 2
+             for k in range(dim))
     half_skin = 0.5 * engine.skin
     return jnp.any(d2 > half_skin * half_skin)
 
@@ -324,26 +362,6 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         return jax.lax.cond(slot_needs_rebin(state, engine),
                             lambda s: _rebin(s, engine), lambda s: s, state)
 
-    def masked_wrap(x, xc, images, occ, cell, cell_inv):
-        # Vacant far rows must never fold into the box: zero their crossing
-        # counts. Same compensated delta wrap as the particle-order step,
-        # in component form.
-        from mdtpu.utils.math import kahan_add
-
-        dim = x.shape[0]
-        frac = _frac_components(x, cell_inv)
-        n_cross = [jnp.where(occ, jnp.floor(f), jnp.zeros_like(f))
-                   for f in frac]
-        delta = jnp.stack([
-            -sum(cell[k, j] * n_cross[j] for j in range(dim))
-            for k in range(dim)])
-        if compensated:
-            x, xc = kahan_add(x, xc, delta)
-        else:
-            x = x + delta
-        images = images + jnp.stack(n_cross).astype(images.dtype)
-        return x, xc, images
-
     def step(state: SimulationState) -> SimulationState:
         dtype = state.positions.dtype
         dt = jnp.asarray(params.dt, dtype)
@@ -364,12 +382,12 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
                                    dtype=dtype)
             noise = jnp.where(occ[None, :], (2.0 * u - 1.0) * SQRT3, 0.0)
             dx = forces * (dt / ktemp) + noise * jnp.sqrt(2.0 * dt)
+            # Deferred wrap: positions drift unwrapped until the next rebin
+            # (which folds them and updates images).
             x, xc = _add(state.positions, state.pos_comp, dx, compensated)
-            x, xc, images = masked_wrap(x, xc, state.images, occ, cell,
-                                        cell_inv)
             take = (state.step % 10) == 0
             return state.replace(
-                positions=x, forces=forces, images=images,
+                positions=x, forces=forces,
                 step=state.step + 1, energy=energy, virial=virial,
                 temperature=ktemp, pos_comp=xc, nbrs=nbrs,
                 virial_accum=state.virial_accum
@@ -379,8 +397,8 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
 
         v, vc = _add(state.velocities, state.vel_comp, state.forces * half,
                      compensated)
+        # Deferred wrap: positions drift unwrapped until the next rebin.
         x, xc = _add(state.positions, state.pos_comp, v * dt, compensated)
-        x, xc, images = masked_wrap(x, xc, state.images, occ, cell, cell_inv)
 
         energy, virial, forces, nbrs = sweep(
             x, state.diameters, cell, cell_inv, state.nbrs, dtype, xc=xc)
@@ -403,7 +421,7 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
         temperature = compute_temperature(v, state.nf)
 
         return state.replace(
-            positions=x, velocities=v, forces=forces, images=images,
+            positions=x, velocities=v, forces=forces,
             step=step_1indexed, energy=energy, virial=virial,
             temperature=temperature, pos_comp=xc, vel_comp=vc, nbrs=nbrs,
         )

@@ -480,37 +480,22 @@ class CellGridEngine:
         dim = positions.shape[0]
         cap = self.cell_capacity
         shape = tuple(self.grid) + (cap,)
-        # ref + MIC keeps boundary-crossing drift next to its home cell
-        # (vacant slots: pos == ref, so eff stays at the far-pad value).
-        # Component form — no (d, d) matmuls on lane-padded (N, d) arrays.
-        ref = nbrs.ref_positions
-        disp = [positions[k] - ref[k] for k in range(dim)]
-        frac = [sum(cell_inv[k, j] * disp[j] for j in range(dim))
-                for k in range(dim)]
+        # Contract (deferred wrap): positions are UNWRAPPED drift from the
+        # binning reference — the slot step folds into the box only at
+        # rebuild time, so every slot coordinate sits within skin/2 of its
+        # home cell with NO per-slot minimum-image work here (vacant slots
+        # hold far-pad values). The per-step MIC preamble this replaces was
+        # ~20 VPU ops per slot.
         diam = diameters.reshape(shape)
+        grids = [positions[k].reshape(shape) for k in range(dim)]
         if pos_lo is None:
-            frac = [f - jnp.round(f) for f in frac]
-            grids = [
-                (ref[k] + sum(cell[k, j] * frac[j] for j in range(dim)))
-                .reshape(shape)
-                for k in range(dim)
-            ]
             energy, virial, f_own = self._zwindow_sweep(
                 grids, diam, cell, observables=observables)
         else:
-            # Hi/lo (double-f32) path: the effective coordinate is
-            # x + (lattice shift for recently wrapped particles), built with
-            # an error-free two_sum so the hi/lo pair stays a faithful
-            # two-float representation of the compensated position.
-            from mdtpu.utils.math import two_sum
-
-            m = [jnp.round(f) for f in frac]
-            grids, grids_lo = [], []
-            for k in range(dim):
-                delta = -sum(cell[k, j] * m[j] for j in range(dim))
-                hi, r = two_sum(positions[k], delta)
-                grids.append(hi.reshape(shape))
-                grids_lo.append((pos_lo[k] + r).reshape(shape))
+            # Hi/lo (double-f32): the Kahan compensation's negated low word
+            # rides along unchanged (deferred wrap keeps the pair coherent;
+            # rebuild applies its fold through kahan_add).
+            grids_lo = [pos_lo[k].reshape(shape) for k in range(dim)]
             energy, virial, f_own = self._zwindow_sweep(
                 grids, diam, cell, observables=observables,
                 grids_lo=grids_lo)

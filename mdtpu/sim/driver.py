@@ -176,12 +176,17 @@ def run_simulation(
             return
         s, dev = pending_item
         if use_slot:
-            # Compact real rows and restore original particle order.
+            # Compact real rows, restore original particle order, and fold
+            # the deferred-wrap residual drift for in-box output rows.
+            from mdtpu.integrate.slot_step import _host_wrap
+
             occ = np.asarray(dev["occupied"])
             order = np.argsort(np.asarray(dev["ids"])[occ])
             dev = dict(dev)
             for name in ("positions", "images"):
                 dev[name] = np.asarray(dev[name]).T[occ][order]
+            dev["positions"], dev["images"] = _host_wrap(
+                dev["positions"], dev["images"], dev["unitcell"])
             dev["diameters"] = np.asarray(dev["diameters"])[occ][order]
         e = float(dev["energy"])
         t = float(dev["temperature"])
