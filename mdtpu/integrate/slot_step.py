@@ -102,7 +102,6 @@ def slotify(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     slot_nbrs = CellGridState(
         addr=jnp.arange(n_slots, dtype=jnp.int32),
         occupied=occupied,
-        sorted_comps=nbrs.sorted_comps,
         sorted_diam=put1(state.diameters, 1),
         ref_positions=positions,
         overflow=nbrs.overflow,

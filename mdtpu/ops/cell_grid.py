@@ -106,7 +106,6 @@ def ghost_z_window_hilo(hi, lo, ghost_shift):
 class CellGridState:
     addr: jnp.ndarray           # (N,) slot address of each particle: cid*C + rank
     occupied: jnp.ndarray       # (n_cells*C,) bool slot-occupancy mask
-    sorted_comps: jnp.ndarray   # (d, n_cells*C) padded sorted position components
     sorted_diam: jnp.ndarray    # (n_cells*C,) padded sorted diameters
     ref_positions: jnp.ndarray  # (N, d) positions at build time
     overflow: jnp.ndarray       # () bool
@@ -228,15 +227,10 @@ class CellGridEngine:
         occupied = jnp.zeros((pad,), bool).at[addr].set(True)[:-1]
 
         pos_t = positions.T
-        sorted_comps = jnp.stack([
-            jnp.zeros((pad,), positions.dtype).at[addr].set(pos_t[k])[:-1]
-            for k in range(dim)
-        ])
         sorted_diam = jnp.ones((pad,), diameters.dtype).at[addr].set(diameters)[:-1]
 
         return CellGridState(
-            addr=addr, occupied=occupied, sorted_comps=sorted_comps,
-            sorted_diam=sorted_diam, ref_positions=positions,
+            addr=addr, occupied=occupied, sorted_diam=sorted_diam, ref_positions=positions,
             overflow=overflow,
         )
 

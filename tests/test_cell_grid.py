@@ -197,7 +197,7 @@ def test_hilo_pair_sweep_beats_plain_f32_accuracy():
     diam_slot = jnp.ones((n_slots + 1,), jnp.float32).at[addr].set(diam32)[:-1]
     slot_nbrs = CellGridState(
         addr=jnp.arange(n_slots, dtype=jnp.int32), occupied=occupied,
-        sorted_comps=hi_rows, sorted_diam=diam_slot, ref_positions=hi_rows,
+        sorted_diam=diam_slot, ref_positions=hi_rows,
         overflow=nbrs.overflow)
 
     _, _, f_plain, _ = eng.compute_slots(hi_rows, diam_slot, cell32, cinv32,

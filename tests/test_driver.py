@@ -193,6 +193,13 @@ def test_driver_slot_fast_path_matches_naive(tmp_path):
     rows_s = np.loadtxt(os.path.join(p_slot, "thermo.txt"))
     rows_r = np.loadtxt(os.path.join(p_ref, "thermo.txt"))
     np.testing.assert_allclose(rows_s, rows_r, rtol=1e-6, atol=1e-7)
+    # Unwrapped-coordinate invariant: pos + cell @ images must agree too —
+    # validates the deferred wrap's image bookkeeping through rebuilds and
+    # the host-side fold.
+    cell_T = np.asarray(state.unitcell).T
+    unwrap_s = np.asarray(out_slot.positions) + np.asarray(out_slot.images) @ cell_T
+    unwrap_r = np.asarray(out_ref.positions) + np.asarray(out_ref.images) @ cell_T
+    np.testing.assert_allclose(unwrap_s, unwrap_r, rtol=1e-8, atol=1e-8)
     # trajectory frames parse with stable per-particle rows
     traj = open(os.path.join(p_slot, "trajectory.xyz")).read()
     assert traj.count("ITEM: TIMESTEP") == 3
