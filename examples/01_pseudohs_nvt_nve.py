@@ -3,6 +3,11 @@
 fluid in 3D, NVT equilibration at kT=1.4737 (tau = 100 dt), then NVE
 production from the equilibrated state."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

@@ -1,6 +1,11 @@
 """BASELINE config 3: overdamped Brownian dynamics
 (/root/reference/src/simulation.jl:181-308 intended behaviour)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 from mdtpu import Brownian, Parameters, PseudoHS, initialize_state, run_simulation

