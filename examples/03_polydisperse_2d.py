@@ -10,6 +10,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# This example packs a RANDOM overlapping 2D start for a steep (r^-50-like)
+# potential: f64 is required or the first energies overflow (the repo's
+# gotcha list). Must be set before first jax use.
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

@@ -75,8 +75,24 @@ def fire_minimize(
     def forces_at(x, nb):
         return engine_forces(engine, x, diameters, cell, cell_inv, nb)
 
+    def safe_norm(a, axis=None, keepdims=False):
+        """max-scaled Euclidean norm: never squares raw values. TPU's
+        emulated f64 keeps the f32 exponent range (~1e38), so ||F||^2 of the
+        ~1e25-scale forces of an overlapping r^-50 start overflows to inf
+        and FIRE stalls (scale = inf/inf = nan zeroes every displacement) —
+        while true-f64 CPUs sail through. Scaling by max|a| first keeps
+        every intermediate <= sqrt(N)."""
+        if axis is None:
+            m = jnp.max(jnp.abs(a))
+            m_safe = jnp.where(m > 0, m, jnp.ones_like(m))
+            return jnp.linalg.norm(a / m_safe) * m
+        m = jnp.max(jnp.abs(a), axis=axis, keepdims=True)
+        m_safe = jnp.where(m > 0, m, jnp.ones_like(m))
+        r = jnp.linalg.norm(a / m_safe, axis=axis, keepdims=keepdims)
+        return r * (m if keepdims else jnp.squeeze(m, axis=axis))
+
     e0, w0, f0, nbrs = forces_at(state.positions, nbrs)
-    f_rms0 = jnp.linalg.norm(f0) / jnp.sqrt(ndof)
+    f_rms0 = safe_norm(f0) / jnp.sqrt(ndof)
 
     carry0 = _FireCarry(
         positions=state.positions,
@@ -97,13 +113,21 @@ def fire_minimize(
         return (c.step < max_steps) & (c.f_rms >= tol)
 
     def body(c: _FireCarry) -> _FireCarry:
-        # Inertia update (/root/reference/src/minimize.jl:89-102).
+        # Inertia update (/root/reference/src/minimize.jl:89-102). Norms and
+        # the power use the overflow-safe scaled forms (see safe_norm); only
+        # the SIGN of P = sum(v . F) matters, so it is computed on
+        # max-normalized copies.
         v = c.v + c.dt * c.forces
-        power = jnp.sum(v * c.forces)
-        v_norm = jnp.linalg.norm(v)
-        f_norm = jnp.linalg.norm(c.forces)
-        do_mix = (v_norm > 0) & (f_norm > 0)
-        scale = c.alpha * v_norm / jnp.where(f_norm > 0, f_norm, jnp.ones_like(f_norm))
+        vmax = jnp.max(jnp.abs(v))
+        fmax = jnp.max(jnp.abs(c.forces))
+        vmax_s = jnp.where(vmax > 0, vmax, jnp.ones_like(vmax))
+        fmax_s = jnp.where(fmax > 0, fmax, jnp.ones_like(fmax))
+        power = jnp.sum((v / vmax_s) * (c.forces / fmax_s))
+        vn = jnp.linalg.norm(v / vmax_s)
+        fn = jnp.linalg.norm(c.forces / fmax_s)
+        do_mix = (vmax > 0) & (fmax > 0)
+        scale = c.alpha * (vmax_s / fmax_s) * (
+            vn / jnp.where(fn > 0, fn, jnp.ones_like(fn)))
         v = jnp.where(do_mix, (1.0 - c.alpha) * v + scale * c.forces, v)
 
         # dt / alpha adaptation (/root/reference/src/minimize.jl:104-115).
@@ -124,7 +148,7 @@ def fire_minimize(
         # with a LAMMPS-style per-particle displacement cap ``dmax`` so steep
         # potentials (or overlapping f32 starts) cannot explode the step.
         disp = dt * v
-        disp_norm = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+        disp_norm = safe_norm(disp, axis=-1, keepdims=True)
         disp_norm = jnp.where(jnp.isfinite(disp_norm), disp_norm,
                               jnp.full_like(disp_norm, jnp.inf))
         cap = jnp.minimum(1.0, dmax / jnp.maximum(disp_norm, 1e-30))
@@ -134,7 +158,7 @@ def fire_minimize(
         x, images = wrap_positions(x, c.images, cell, cell_inv)
 
         energy, virial, forces, nb = forces_at(x, c.nbrs)
-        f_rms = jnp.linalg.norm(forces) / jnp.sqrt(ndof)
+        f_rms = safe_norm(forces) / jnp.sqrt(ndof)
 
         return _FireCarry(
             positions=x, images=images, v=v, forces=forces, energy=energy,

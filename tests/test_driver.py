@@ -237,3 +237,38 @@ def test_driver_slot_brownian(tmp_path):
     for l in lines:
         assert float(l.split()[2]) == pytest.approx(1.0)  # T == ktemp
     assert int(out.nprom) < 4  # reset after each output
+
+
+def test_slot_driver_checkpoint_resume(tmp_path):
+    """Checkpoints written mid-run on the slot fast path are particle-order
+    full states; loading one and continuing produces physically consistent
+    dynamics (slot-mode summation order is layout-dependent, so resume is
+    exact-physics, not bitwise — the naive-engine path keeps the bitwise
+    guarantee, test_exact_checkpoint_resume)."""
+    from mdtpu.io.checkpoint import load_checkpoint
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    pot = PseudoHS()
+    n = 500
+    params = Parameters(density=0.5, n_particles=n, dt=0.001, potential=pot)
+    state = initialize_state(params, str(tmp_path), dimension=3, cutoff=1.5,
+                             dtype=jnp.float64, seed=5)
+    state = state.replace(velocities=initialize_velocities(
+        1.0, jax.random.PRNGKey(6), n, 3, dtype=jnp.float64))
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(state.unitcell), n)
+
+    p = str(tmp_path / "run")
+    out = run_simulation(state, params, NVE(), 40, 20, p, engine=eng,
+                         checkpoint_every=20)
+    ck = os.path.join(p, "checkpoint.20.npz")
+    assert os.path.isfile(ck)
+    restored = load_checkpoint(ck, state)
+    assert int(restored.step) == 21  # event at step-label 20 = 21 executed
+    assert restored.positions.shape == (n, 3)
+    cont = run_simulation(restored, params, NVE(), 19, 19,
+                          str(tmp_path / "cont"), engine=eng)
+    assert int(cont.step) == 40
+    # Energy conservation across the resume splice (NVE, f64).
+    e0 = float(out.energy) + 0.5 * float(jnp.sum(out.velocities ** 2))
+    e1 = float(cont.energy) + 0.5 * float(jnp.sum(cont.velocities ** 2))
+    assert abs(e1 - e0) / abs(e0) < 1e-6

@@ -272,3 +272,33 @@ def test_mixed_precision_nve():
         kin = 0.5 * float(jnp.sum(s.velocities ** 2))
         return float(s.energy) + kin
     np.testing.assert_allclose(etot(smx), etot(s64), rtol=1e-4)
+
+
+def test_fire_survives_norm_overflow():
+    """Steep-potential overlaps give |F| ~ 1e20+; naive ||F||^2 / sum(v*F)
+    overflow to inf in f32 (and in TPU-emulated f64, which keeps the f32
+    exponent range) — FIRE then stalls with scale = inf/inf = nan. The
+    max-scaled norms must keep minimizing."""
+    from mdtpu.minimize.fire import fire_minimize
+    from mdtpu.ops.naive import NaivePairEngine
+    from mdtpu.potentials.pseudo_hs import PseudoHS
+
+    state = make_fluid_state(n=128, rho=0.4, temp=0.0, dtype=jnp.float32,
+                             cutoff=1.5)
+    # Plant a deep overlap: r = 0.4 -> pair energy ~ (2.5)^50 ~ 6e19 and
+    # |F| ~ 1e22, whose square overflows f32.
+    pos = np.array(state.positions)
+    pos[1] = pos[0] + np.array([0.4, 0.0, 0.0], np.float32)
+    state = state.replace(positions=jnp.asarray(pos))
+
+    pot = PseudoHS()
+    params = Parameters(density=0.4, n_particles=128, dt=0.001, potential=pot)
+    eng = NaivePairEngine(potential=pot, cutoff=1.5)
+    e0, _, f0, _ = eng.compute(state.positions, state.diameters,
+                               state.unitcell, state.unitcell_inv, ())
+    assert not np.isfinite(float(jnp.sum(f0 * f0)))  # the overflow is real
+    out, e, conv, steps = fire_minimize(state, params, eng, max_steps=2000,
+                                        tol=1e-4)
+    assert np.isfinite(float(e))
+    assert float(e) < float(e0) * 1e-6  # overlap resolved
+    assert bool(jnp.all(jnp.isfinite(out.positions)))
