@@ -104,3 +104,61 @@ def test_slot_step_brownian_runs_and_pads_stay_far():
     assert (pos[~occ][:, 0] > 1e5).all()
     assert occ.sum() == n_real
     assert np.all(np.isfinite(pos[occ]))
+
+
+def test_slot_step_polydisperse_matches_particle_step():
+    # Diameters ride the packed rebin scatter; with sigma=1 a mix-up would be
+    # invisible — use a genuinely polydisperse fluid and force rebins.
+    from tests.test_dynamics import make_fluid_state
+
+    n = 600
+    state = make_fluid_state(n=n, rho=0.4, temp=0.8, dtype=jnp.float64,
+                             cutoff=1.5)
+    key = jax.random.PRNGKey(77)
+    diam = 0.8 + 0.4 * jax.random.uniform(key, (n,), dtype=jnp.float64)
+    state = state.replace(diameters=diam)
+    pot = LennardJones(r_cut=1.5)   # lorentz mixing: diameters matter
+    params = Parameters(density=0.4, n_particles=n, dt=0.002, potential=pot)
+    eng = CellGridEngine.create(pot, 1.5, 0.15, np.asarray(state.unitcell), n)
+    state = _with_forces(state, eng)
+
+    ref_step = jax.jit(make_step(params, NVT(0.8, 0.2), eng))
+    sl = _slot_with_forces(state, eng)
+    from mdtpu.integrate.slot_step import make_slot_advance, unslotify_state
+    advance = jax.jit(make_slot_advance(params, NVT(0.8, 0.2), eng))
+
+    ref = state
+    for _ in range(120):
+        ref = ref_step(ref)
+    sl = advance(sl, 120)
+    out = unslotify_state(sl)
+
+    # unslotify restores ORIGINAL particle order: compare row-for-row.
+    np.testing.assert_allclose(np.asarray(out.diameters), np.asarray(diam),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions), rtol=1e-8,
+                               atol=1e-9)
+    np.testing.assert_allclose(float(sl.energy), float(ref.energy), rtol=1e-9)
+
+
+def test_slot_advance_with_temperature_ramp():
+    # NVT whose ktemp is a schedule of the (1-indexed) step — through the
+    # slot advance it must hit the same per-step targets as the particle
+    # step (ramps are how quenches plug in).
+    from mdtpu.integrate.ramps import LinearRamp
+    from mdtpu.integrate.slot_step import make_slot_advance
+
+    state, params, eng = _setup()
+    ramp = LinearRamp(1.0, 0.25, 100)
+    ref_step = jax.jit(make_step(params, NVT(ramp, 0.05), eng))
+    advance = jax.jit(make_slot_advance(params, NVT(ramp, 0.05), eng))
+
+    sl = _slot_with_forces(state, eng)
+    ref = state
+    for _ in range(100):
+        ref = ref_step(ref)
+    sl = advance(sl, 100)
+    np.testing.assert_allclose(float(sl.temperature), float(ref.temperature),
+                               rtol=1e-9)
+    assert abs(float(sl.temperature) - 0.25) < 0.2  # quenched toward T_final
