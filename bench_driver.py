@@ -1,0 +1,75 @@
+"""End-to-end PRODUCTION throughput: the public run_simulation driver at the
+headline config (N=65,536 LJ fluid), including thermo/trajectory output every
+100 steps through the async C++ writer, event segmentation, rebuild/overflow
+handling — everything a real run pays. Complements bench.py (raw fused-loop
+steps/s). Prints ONE JSON line.
+"""
+
+import json
+import shutil
+import tempfile
+import time
+
+import jax
+
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100):
+    from mdtpu.core.types import NVT, Parameters
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.potentials.lennard_jones import LennardJones
+    from mdtpu.sim.driver import run_simulation
+    from mdtpu.sim.initialization import (build_state_from_arrays,
+                                          initialize_velocities,
+                                          lattice_positions)
+
+    dtype = jnp.float32
+    d = 3
+    L = (n / rho) ** (1.0 / d)
+    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
+    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
+                            key=jax.random.PRNGKey(0))
+    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
+                                    jax.random.PRNGKey(1), dtype=dtype,
+                                    cutoff=2.5)
+    state = state.replace(velocities=initialize_velocities(
+        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    pot = LennardJones(r_cut=2.5)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    engine = CellGridEngine.create(pot, 2.5, 0.6, np.asarray(cell), n,
+                                   cell_capacity=36)
+
+    out = tempfile.mkdtemp(prefix="bench_driver_")
+    try:
+        # Warm the compile caches + melt with a short run.
+        state = run_simulation(state, params, NVT(temp, 0.4), 200, 100, out,
+                               engine=engine)
+        # Longer run at sparse output so the per-call setup (retrace of the
+        # freshly-closed-over advance, ~2-3 s) amortizes out of the
+        # steady-state number.
+        for freq, n_steps in ((frequency, steps), (1000, 10_000)):
+            t0 = time.perf_counter()
+            state = run_simulation(state, params, NVT(temp, 0.4), n_steps,
+                                   freq, out, engine=engine)
+            elapsed = time.perf_counter() - t0
+            rate = n_steps / elapsed
+            print(json.dumps({
+                "metric": ("driver steps/sec, N=65536 LJ NVT through "
+                           f"run_simulation (thermo+trajectory every {freq} "
+                           "steps, async writer)"),
+                "value": round(rate, 2),
+                "unit": "steps/sec",
+                "ms_per_step": round(elapsed / n_steps * 1e3, 4),
+                "particle_steps_per_sec": round(rate * n, 0),
+            }), flush=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -272,6 +272,11 @@ def run_simulation(
                 nprom=jnp.zeros_like(state.nprom),
             )
         flush(pending)
+        # Eager fetch ON PURPOSE: on the remote-TPU tunnel, pulling from an
+        # idle device is ~25% faster than overlapping the pull with the next
+        # segment's execution (measured 4.3 vs 5.5 ms/step at N=65k,
+        # frequency=100 — transfers contend with the running program's RPC
+        # stream). On locally-attached TPUs either order works.
         pending = (ev, jax.device_get(dev))
         if checkpoint_every is not None and ev % checkpoint_every == 0:
             from mdtpu.io.checkpoint import save_checkpoint
