@@ -18,15 +18,14 @@ new-log-times.txt).
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mdtpu.core.box import box_volume
-from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
+from mdtpu.core.types import Brownian, Parameters, SimulationState
 from mdtpu.integrate.step import engine_forces, make_step
 from mdtpu.io.lammps import write_lammps_frame
 from mdtpu.io.xyz import write_xyz
