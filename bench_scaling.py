@@ -81,5 +81,10 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
 
 
 if __name__ == "__main__":
-    for n in (1024, 4096, 16384, 65536, 262144):
+    import sys
+
+    sizes = (1024, 4096, 16384, 65536, 262144)
+    if "--big" in sys.argv:
+        sizes = sizes + (1048576,)
+    for n in sizes:
         run_size(n)
