@@ -118,6 +118,11 @@ class CellGridEngine:
     skin: float = struct.field(pytree_node=False, default=0.3)
     grid: Tuple[int, ...] = struct.field(pytree_node=False, default=(3, 3, 3))
     cell_capacity: int = struct.field(pytree_node=False, default=16)
+    # Memory-bounded sweep: lax.scan over x-planes instead of one dense
+    # (n_cells, C, 3C) computation — required beyond ~0.5M particles on a
+    # 16 GB chip (create_tuned turns it on automatically), a few % slower
+    # below that. Slot path only; hilo unsupported.
+    plane_scan: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, potential, cutoff, skin, unitcell, n_particles,
@@ -190,8 +195,14 @@ class CellGridEngine:
         _, grids, cap = min((c for c in cands if c[0] <= 1.05 * best_cost),
                             key=lambda c: c[1][0])
         skin = min(lengths[k] / grids[k] for k in range(len(lengths))) - cutoff
+        # Dense pair tiles of (n_cells, C, 3C) f32 beyond ~400 MB exhaust
+        # HBM once a few live simultaneously: switch to the x-plane scan.
+        subl = -(-cap // 8) * 8
+        lanes = -(-(3 * cap) // 128) * 128
+        tile_bytes = int(np.prod(grids)) * subl * lanes * 4
         return cls(potential=potential, cutoff=float(cutoff),
-                   skin=float(skin), grid=grids, cell_capacity=cap)
+                   skin=float(skin), grid=grids, cell_capacity=cap,
+                   plane_scan=bool(len(grids) == 3 and tile_bytes > 4e8))
 
     def with_grown_capacity(self):
         return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
@@ -460,6 +471,121 @@ class CellGridEngine:
 
         return energy, virial, [f_own[k] for k in range(dim)]
 
+    def _zwindow_sweep_scan(self, grids, diam, cell, observables=True):
+        """Memory-bounded variant of the z-window sweep: lax.scan over
+        x-planes, carrying the +x reaction plane.
+
+        The dense sweep materializes (n_cells, C, 3C) pair tiles — ~880 MB
+        each at N = 1M, which exhausts v5e HBM. Scanning one x-plane at a
+        time shrinks every intermediate by a factor nx (25 MB at 1M): plane
+        i's half-stencil needs only window planes i and i+1, and the ox=1
+        reactions flow forward through the scan carry (the periodic wrap's
+        reaction for plane 0 is the final carry). Same math, same
+        reduction structure per plane; energy order differs only across
+        planes."""
+        dim = len(grids)
+        dtype = grids[0].dtype
+        cap = self.cell_capacity
+        nx, ny, nz = self.grid
+        m = ny * nz
+
+        win = jnp.stack([ghost_z_window(grids[k], cell[k, 2])
+                         for k in range(dim)])          # (3, nx, ny, nz, 3C)
+        win_diam = ghost_z_window(diam)                 # (nx, ny, nz, 3C)
+        grids_s = jnp.stack(grids)                      # (3, nx, ny, nz, C)
+
+        i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
+        diag_bump = jnp.where(j_ids == i_ids + cap,
+                              jnp.asarray(1e30, dtype),
+                              jnp.zeros((), dtype))[None, :, :]
+
+        def yshift(w, oy, ghost_y):
+            # w (ny, nz, W); oy in {-1, 0, 1}; ghost_y = box shift for the
+            # wrapped row (None for diameters / reactions).
+            if oy == 1:
+                left = w[:1] + ghost_y if ghost_y is not None else w[:1]
+                return jnp.concatenate([w[1:], left], axis=0)
+            if oy == -1:
+                right = w[-1:] - ghost_y if ghost_y is not None else w[-1:]
+                return jnp.concatenate([right, w[:-1]], axis=0)
+            return w
+
+        def unwindow_plane(reaction):
+            # (m, 3C) window coords -> (ny, nz, C)
+            r = reaction.reshape(ny, nz, 3, cap)
+            return (jnp.roll(r[:, :, 0, :], -1, axis=1) + r[:, :, 1, :]
+                    + jnp.roll(r[:, :, 2, :], 1, axis=1))
+
+        def body(carry, i):
+            energy, virial, react_in = carry
+            own = [jax.lax.dynamic_index_in_dim(grids_s[k], i, 0, False)
+                   .reshape(m, cap, 1) for k in range(dim)]
+            own_d = jax.lax.dynamic_index_in_dim(diam, i, 0, False) \
+                .reshape(m, cap, 1)
+            wp = [jax.lax.dynamic_index_in_dim(win[k], i, 0, False)
+                  for k in range(dim)]                      # (ny, nz, 3C)
+            wd = jax.lax.dynamic_index_in_dim(win_diam, i, 0, False)
+            ip1 = (i + 1) % nx
+            wrap = (i == nx - 1)
+            wp1 = [jax.lax.dynamic_index_in_dim(win[k], ip1, 0, False)
+                   + jnp.where(wrap, cell[k, 0], jnp.zeros((), dtype))
+                   for k in range(dim)]
+            wd1 = jax.lax.dynamic_index_in_dim(win_diam, ip1, 0, False)
+
+            def block(wc, wdd, exclude_self):
+                wc = [w.reshape(m, 1, 3 * cap) for w in wc]
+                wdd = wdd.reshape(m, 1, 3 * cap)
+                d_comps = [own[k] - wc[k] for k in range(dim)]
+                r2 = sum(dk * dk for dk in d_comps)
+                if exclude_self:
+                    r2 = r2 + diag_bump
+                if observables:
+                    u, f = self.potential.evaluate_r2(r2, own_d, wdd)
+                else:
+                    u, f = None, self.potential.force_r2(r2, own_d, wdd)
+                return u, f, r2, d_comps
+
+            u, f, r2s, dcs = block(wp, wd, True)
+            if observables:
+                energy = energy + 0.5 * jnp.sum(u)
+                virial = virial + 0.5 * jnp.sum(f * r2s)
+            f_own = jnp.stack([jnp.sum(f * dcs[k], axis=2)
+                               for k in range(dim)])        # (3, m, C)
+            react_out = jnp.zeros((dim, ny, nz, cap), dtype)
+
+            for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
+                src = wp1 if ox else wp
+                srcd = wd1 if ox else wd
+                wc = [yshift(src[k], oy, cell[k, 1]) for k in range(dim)]
+                wdd = yshift(srcd, oy, None)
+                u, f, r2s, dcs = block(wc, wdd, False)
+                if observables:
+                    energy = energy + jnp.sum(u)
+                    virial = virial + jnp.sum(f * r2s)
+                for k in range(dim):
+                    f_own = f_own.at[k].add(jnp.sum(f * dcs[k], axis=2))
+                    r = unwindow_plane(-jnp.sum(f * dcs[k], axis=1))
+                    r = jnp.roll(r, oy, axis=0)
+                    if ox:
+                        react_out = react_out.at[k].add(r)
+                    else:
+                        f_own = f_own.at[k].add(r.reshape(m, cap))
+
+            f_out = f_own + react_in.reshape(dim, m, cap)
+            return (energy, virial, react_out), f_out
+
+        zero = jnp.zeros((), dtype)
+        (energy, virial, react_final), f_planes = jax.lax.scan(
+            body, (zero, zero, jnp.zeros((dim, ny, nz, cap), dtype)),
+            jnp.arange(nx))
+        # Periodic wrap: plane nx-1's +x reactions belong to plane 0.
+        f_planes = f_planes.at[0].add(react_final.reshape(dim, m, cap))
+        # (nx, 3, m, C) -> per-comp (n_cells, C)
+        f_own = [jnp.moveaxis(f_planes[:, k], 0, 0).reshape(nx * m, cap)
+                 for k in range(dim)]
+        return energy, virial, f_own
+
     def compute_slots(self, positions, diameters, cell, cell_inv,
                       nbrs: CellGridState, observables=True, pos_lo=None):
         """Slot-space sweep: positions are ALREADY in cell-sorted slot order
@@ -483,8 +609,12 @@ class CellGridEngine:
         diam = diameters.reshape(shape)
         grids = [positions[k].reshape(shape) for k in range(dim)]
         if pos_lo is None:
-            energy, virial, f_own = self._zwindow_sweep(
-                grids, diam, cell, observables=observables)
+            if self.plane_scan and dim == 3:
+                energy, virial, f_own = self._zwindow_sweep_scan(
+                    grids, diam, cell, observables=observables)
+            else:
+                energy, virial, f_own = self._zwindow_sweep(
+                    grids, diam, cell, observables=observables)
         else:
             # Hi/lo (double-f32): the Kahan compensation's negated low word
             # rides along unchanged (deferred wrap keeps the pair coherent;

@@ -215,3 +215,35 @@ def test_hilo_pair_sweep_beats_plain_f32_accuracy():
     # Residual floor = the f32 potential-kernel arithmetic itself (~few ulp
     # of the max pair force); coordinate-truncation noise is gone.
     assert err_hilo < 1e-6, err_hilo
+
+
+def test_plane_scan_sweep_matches_dense():
+    # Memory-bounded x-plane-scan sweep (for beyond-HBM sizes): same math,
+    # per-plane reductions; must match the dense z-window sweep to machine
+    # precision, lean and observable modes alike.
+    from mdtpu.integrate.slot_step import slot_forces, slotify
+    from mdtpu.sim.initialization import (build_state_from_arrays,
+                                          lattice_positions)
+
+    pot = LennardJones(r_cut=1.5)
+    n, rho = 2048, 0.5
+    L = (n / rho) ** (1.0 / 3.0)
+    cell = jnp.eye(3, dtype=jnp.float64) * L
+    pos = lattice_positions(n, cell, 3, dtype=jnp.float64, jitter=0.08,
+                            key=jax.random.PRNGKey(2))
+    state = build_state_from_arrays(pos, jnp.ones(n, jnp.float64), cell,
+                                    jax.random.PRNGKey(3),
+                                    dtype=jnp.float64, cutoff=1.5)
+    eng = CellGridEngine.create(pot, 1.5, 0.6, np.asarray(cell), n)
+    st = slot_forces(slotify(state, eng), eng)
+    args = (st.positions, st.diameters, st.unitcell, st.unitcell_inv, st.nbrs)
+    e0, w0, f0, _ = eng.compute_slots(*args)
+    e1, w1, f1, _ = eng.replace(plane_scan=True).compute_slots(*args)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+    np.testing.assert_allclose(float(w1), float(w0), rtol=1e-12)
+    occ = np.asarray(st.nbrs.occupied)
+    np.testing.assert_allclose(np.asarray(f1)[:, occ], np.asarray(f0)[:, occ],
+                               rtol=1e-12, atol=1e-12)
+    _, _, f2, _ = eng.replace(plane_scan=True).compute_slots(
+        *args, observables=False)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
