@@ -272,3 +272,30 @@ def test_slot_driver_checkpoint_resume(tmp_path):
     e0 = float(out.energy) + 0.5 * float(jnp.sum(out.velocities ** 2))
     e1 = float(cont.energy) + 0.5 * float(jnp.sum(cont.velocities ** 2))
     assert abs(e1 - e0) / abs(e0) < 1e-6
+
+
+def test_driver_slot_log_times_and_compress(tmp_path):
+    """log-spaced snapshots and zstd compression through the slot fast path:
+    snapshot files appear at the log times with in-box particle-order rows,
+    and the compressed trajectory replaces the plain one."""
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    pot = PseudoHS()
+    n = 500
+    params = Parameters(density=0.5, n_particles=n, dt=0.001, potential=pot)
+    state = initialize_state(params, str(tmp_path), dimension=3, cutoff=1.5,
+                             dtype=jnp.float64, seed=11)
+    state = state.replace(velocities=initialize_velocities(
+        1.0, jax.random.PRNGKey(12), n, 3, dtype=jnp.float64))
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(state.unitcell), n)
+    p = str(tmp_path / "run")
+    out = run_simulation(state, params, NVE(), 20, 100, p, engine=eng,
+                         log_times=True, compress=True)
+    assert int(out.step) == 20
+    snaps = sorted(f for f in os.listdir(p) if f.startswith("snapshot."))
+    assert "snapshot.0" in snaps and len(snaps) >= 5
+    # snapshot rows are (N, d), in-box
+    txt = open(os.path.join(p, "snapshot.0")).read()
+    assert txt.count("\n") > n
+    assert os.path.isfile(os.path.join(p, "trajectory.xyz.zst"))
+    assert not os.path.isfile(os.path.join(p, "trajectory.xyz"))
