@@ -7,8 +7,10 @@ host up front; between consecutive events the jitted ``advance(state, n)``
 runs ``n`` fused steps under ``lax.fori_loop`` with a *traced* bound, so one
 compilation serves every segment length and the device never syncs mid-
 segment. Host I/O (thermo rows, LAMMPS frames, snapshots) happens only at
-event boundaries, and the next segment is dispatched *before* the previous
-segment's arrays are pulled, overlapping file I/O with device compute.
+event boundaries: each event's arrays are pulled eagerly from the idle
+device (measured faster than overlapping the pull with the next segment on
+the remote-TPU tunnel — see the comment at the pull site), while the FILE
+writes of the previous event overlap the next segment's compute.
 
 File outputs are format-identical to the reference (thermo ``%d %.6f %.6f
 %.6f`` rows, LAMMPS dump frames, final.xyz, optional zstd compression and

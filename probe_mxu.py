@@ -46,7 +46,6 @@ def mxu_sweep(engine, positions, diameters, cell, lean=True):
                           jnp.zeros((), dtype))[None]
 
     own_stack = jnp.stack(own_y)            # (3, b, C)
-    dn = (('' ,),)
 
     def pair_block(wy_stack, wd, exclude_self, ox=0, oy=0):
         # wy_stack (3, b, 3C); own_stack (3, b, C)
@@ -58,9 +57,6 @@ def mxu_sweep(engine, positions, diameters, cell, lean=True):
         r2 = own_n[:, :, None] + win_n[:, None, :] - 2.0 * cross
         if exclude_self:
             r2 = r2 + diag_bump
-        f = pot.force_r2(r2, jnp.ones_like(r2), jnp.ones_like(r2)) \
-            if False else None
-        # use the potential protocol (with diam windows)
         od = diam.reshape(n_cells, cap, 1)
         wdr = wd.reshape(n_cells, 1, 3 * cap)
         f_over_r = pot.force_r2(r2, od, wdr)
@@ -131,7 +127,6 @@ def main():
     state, advance = build(slot=True)
     state = advance(state, 200)
     jax.block_until_ready(state)
-    eng_proto = None
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.potentials.lennard_jones import LennardJones
     pot = LennardJones(r_cut=2.5)
