@@ -34,6 +34,11 @@ The role analog in the reference is CellListMap's internally-permuted
 particle storage (it also computes on cell-ordered copies,
 /root/reference/src/initialization.jl:100-107); here the ENTIRE dynamics
 runs in that order.
+
+Measured impact at the N=65k LJ bench on TPU v5e (BENCH_NOTES.md): the
+particle-order step ran 3.9 ms; this layout plus the packed rebuild, lean
+inner steps, deferred wrap and tuned cell geometry reach 0.93 ms/step
+(1,073 steps/s), sustained through the public driver over 100k-step runs.
 """
 
 from __future__ import annotations
