@@ -88,7 +88,10 @@ class NeighborListEngine:
 
     @classmethod
     def create(cls, potential, cutoff, skin, unitcell, n_particles,
-               cell_capacity=None, max_neighbors=None):
+               cell_capacity=None, max_neighbors=None, max_sigma=1.0):
+        from mdtpu.potentials.base import check_engine_cutoff
+
+        check_engine_cutoff(potential, cutoff, max_sigma)
         grid = _grid_for_box(unitcell, cutoff, skin)
         if grid is None:
             raise ValueError(
@@ -136,7 +139,8 @@ class NeighborListEngine:
         # Ravel to flat cell ids (row-major over grid dims).
         strides = np.concatenate([np.cumprod(self.grid[::-1])[-2::-1], [1]]).astype(np.int32)
         strides = jnp.asarray(strides)
-        cid = jnp.sum(coords * strides, axis=1)  # (N,)
+        # Explicit int32: jnp.sum promotes int32 to int64 under x64.
+        cid = jnp.sum(coords * strides, axis=1).astype(jnp.int32)  # (N,)
 
         # Bucketed count-sort into (n_cells, cap).
         order = jnp.argsort(cid).astype(jnp.int32)  # (N,) particle ids sorted by cell
@@ -153,7 +157,8 @@ class NeighborListEngine:
         # Candidate gather over the 3^d stencil.
         offsets = self._stencil_offsets()           # (S, d)
         nbr_coords = (coords[:, None, :] + offsets[None, :, :]) % grid  # (N, S, d)
-        nbr_cids = jnp.sum(nbr_coords * strides, axis=-1)               # (N, S)
+        nbr_cids = jnp.sum(nbr_coords * strides,
+                           axis=-1).astype(jnp.int32)                   # (N, S)
         cand = cell_buf[nbr_cids].reshape(n, -1)                        # (N, S*cap)
 
         # Distances to candidates — component-wise (N, S*cap) tiles; an
