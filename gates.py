@@ -138,11 +138,78 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
     }))
 
 
+def main_driver(n=1024, rho=0.76, temp=1.4737, dt=0.001,
+                nve_steps=1_000_000, sample_every=2_000):
+    """Driver-level NVE gate: the SAME fidelity measurement as main(), but
+    executed entirely through the PUBLIC run_simulation entry point with its
+    default precision='auto' (the f32x2 hi/lo sweep for f32 NVE) and the
+    drift computed from the thermo.txt rows the driver writes — proving the
+    gate-passing mode lives on the public path, not in a side harness
+    (reference contract: one run_simulation! carries the physics guarantees,
+    /root/reference/src/simulation.jl:40)."""
+    import os
+    import tempfile
+
+    from mdtpu.core.types import NVE, NVT, Parameters
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.potentials.pseudo_hs import PseudoHS
+    from mdtpu.sim.driver import run_simulation
+    from mdtpu.sim.initialization import (
+        build_state_from_arrays, initialize_velocities, lattice_positions)
+
+    dtype = jnp.float32
+    d = 3
+    L = (n / rho) ** (1.0 / d)
+    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
+    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
+                            key=jax.random.PRNGKey(0))
+    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
+                                    jax.random.PRNGKey(1), dtype=dtype,
+                                    cutoff=1.5)
+    state = state.replace(velocities=initialize_velocities(
+        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    pot = PseudoHS()
+    params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
+    engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n)
+
+    tmp = tempfile.mkdtemp(prefix="gate_driver_")
+    # NVT equilibration through the driver, then the NVE production run.
+    state = run_simulation(state, params, NVT(temp, 100 * dt), 20_000,
+                           20_000, os.path.join(tmp, "eq"), engine=engine,
+                           traj_frequency=10 ** 9)
+    t0 = time.perf_counter()
+    state = run_simulation(state, params, NVE(), nve_steps, sample_every,
+                           os.path.join(tmp, "nve"), engine=engine,
+                           traj_frequency=10 ** 9)
+    elapsed = time.perf_counter() - t0
+
+    rows = np.loadtxt(os.path.join(tmp, "nve", "thermo.txt"))
+    steps, ener, temps = rows[:, 0], rows[:, 1], rows[:, 2]
+    nf = d * (n - 1)
+    etot = ener + 0.5 * nf * temps / n  # per-particle total energy
+    slope = np.polyfit(steps, etot, 1)[0]
+    drift_per_1e6 = abs(slope) * 1e6
+    print(json.dumps({
+        "gate": f"DRIVER NVE drift per 1e6 steps (public run_simulation, "
+                f"precision=auto, f32, dt={dt}, pseudo-HS N={n})",
+        "drift_per_1e6_steps": float(drift_per_1e6),
+        "target": 1e-4,
+        "pass": bool(drift_per_1e6 < 1e-4),
+        "nve_steps": int(nve_steps),
+        "steps_per_sec": round(nve_steps / elapsed, 1),
+        "mean_T": round(float(temps.mean()), 4),
+        "energy_span": [float(etot[0]), float(etot[-1])],
+    }))
+
+
 if __name__ == "__main__":
     import sys
     dt = float(sys.argv[1]) if len(sys.argv) > 1 else 0.001
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     kind = sys.argv[3] if len(sys.argv) > 3 else "f32"
+    if kind == "driver":
+        main_driver(dt=dt, nve_steps=steps)
+        sys.exit(0)
     if kind in ("f64", "mixed", "f32+f64f"):
         jax.config.update("jax_enable_x64", True)
     # "f32x2": pure-f32 pipeline with the pair sweep consuming the Kahan

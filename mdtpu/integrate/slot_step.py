@@ -88,6 +88,14 @@ def slotify(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     cap = engine.cell_capacity
     n_cells = int(np.prod(engine.grid))
     n_slots = n_cells * cap
+    if n_slots >= 2 ** 24:
+        # The packed rebin rides ids/images through ONE f32 scatter
+        # (probe_rebin: 21 separate row scatters cost ~16x more); f32 is
+        # integer-exact only below 2^24. Beyond that, shard the system
+        # (mdtpu.parallel) instead of growing one slot space.
+        raise ValueError(
+            f"slot layout needs n_cells*capacity < 2^24 for the f32-exact "
+            f"packed rebin (got {n_slots}); use the sharded driver")
 
     nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
                            state.unitcell_inv)

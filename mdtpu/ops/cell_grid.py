@@ -121,12 +121,15 @@ class CellGridEngine:
     # Memory-bounded sweep: lax.scan over x-planes instead of one dense
     # (n_cells, C, 3C) computation — required beyond ~0.5M particles on a
     # 16 GB chip (create_tuned turns it on automatically), a few % slower
-    # below that. Slot path only; hilo unsupported.
+    # below that. Slot path only; composes with the hi/lo pair sweep.
     plane_scan: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, potential, cutoff, skin, unitcell, n_particles,
-               cell_capacity=None):
+               cell_capacity=None, max_sigma=1.0):
+        from mdtpu.potentials.base import check_engine_cutoff
+
+        check_engine_cutoff(potential, cutoff, max_sigma)
         grid = _grid_for_box(unitcell, cutoff, skin)
         if grid is None:
             raise ValueError(
@@ -144,7 +147,7 @@ class CellGridEngine:
 
     @classmethod
     def create_tuned(cls, potential, cutoff, unitcell, n_particles,
-                     min_skin=0.3, occ_sigma=2.5):
+                     min_skin=0.3, occ_sigma=2.5, max_sigma=1.0):
         """Pick the (grid, capacity, skin) minimizing padded-lane cost.
 
         The z-window pair blocks are (C, 3C) tiles padded to (ceil8(C),
@@ -159,6 +162,9 @@ class CellGridEngine:
         The reference's CellListMap always uses cutoff-sized cells
         (/root/reference/src/initialization.jl:100-107) — correct for
         sparse CPU traversal, wrong for dense TPU tiles."""
+        from mdtpu.potentials.base import check_engine_cutoff
+
+        check_engine_cutoff(potential, cutoff, max_sigma)
         u = np.asarray(unitcell, np.float64)
         lengths = [float(np.linalg.norm(u[:, k])) for k in range(u.shape[0])]
         L = min(lengths)
@@ -220,7 +226,10 @@ class CellGridEngine:
         coords = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
         strides = np.concatenate(
             [np.cumprod(self.grid[::-1])[-2::-1], [1]]).astype(np.int32)
-        cid = jnp.sum(coords * jnp.asarray(strides), axis=1)
+        # Explicit int32: jnp.sum promotes int32 to int64 under x64, which
+        # would ride into the int32 scatters below (FutureWarning, future
+        # error).
+        cid = jnp.sum(coords * jnp.asarray(strides), axis=1).astype(jnp.int32)
 
         order = jnp.argsort(cid).astype(jnp.int32)
         cid_sorted = cid[order]
@@ -258,7 +267,151 @@ class CellGridEngine:
         if len(self.grid) == 3:
             return self._compute_zwindow(positions, diameters, cell, cell_inv,
                                          nbrs)
+        if len(self.grid) == 2:
+            return self._compute_ywindow(positions, diameters, cell, cell_inv,
+                                         nbrs)
         return self._compute_rolls(positions, diameters, cell, cell_inv, nbrs)
+
+    def _compute_ywindow(self, positions, diameters, cell, cell_inv,
+                         nbrs: CellGridState):
+        """2D fast path: ghosted y-window sweep (see _ywindow_sweep).
+        Triclinic-safe (ghost shifts are full cell vectors), unlike the
+        orthorhombic-only roll engine."""
+        dim = positions.shape[1]
+        cap = self.cell_capacity
+        grids = refresh_far_grids(positions, nbrs, self.grid, cap, cell,
+                                  cell_inv)
+        diam = nbrs.sorted_diam.reshape(self.grid + (cap,))
+        energy, virial, f_own = self._ywindow_sweep(grids, diam, cell)
+        forces = jnp.stack(
+            [f_own[k].reshape(-1)[nbrs.addr] for k in range(dim)], axis=-1)
+        return energy, virial, forces, nbrs
+
+    def _ywindow_sweep(self, grids, diam, cell, observables=True,
+                       grids_lo=None):
+        """Ghosted y-window half-stencil sweep over 2D slot grids — the 2D
+        analog of :meth:`_zwindow_sweep` (/root/reference is dimension-
+        generic, /root/reference/src/types.jl:15-32; this keeps 2D on the
+        same slot fast path as 3D instead of the slower roll engine).
+
+        The 9-cell stencil collapses to 2 pair blocks: the y-1/y/y+1 cell
+        contents concatenate into (..., 3C) windows, leaving only the self
+        column (every pair seen from both sides, halved scalars) and the
+        x+1 Newton half-stencil column (reactions un-windowed by y-rolls
+        and rolled back in x). Ghost image shifts are full cell vectors
+        (columns of the cell), so tilted 2D cells work identically.
+        ``grids_lo`` enables the same hi/lo (double-f32) precision mode as
+        the 3D sweep (two_sum ghost shifts, error-free hi differences)."""
+        from mdtpu.utils.math import two_sum
+
+        dim = len(grids)
+        dtype = grids[0].dtype
+        cap = self.cell_capacity
+        nx, ny = self.grid
+        n_cells = nx * ny
+        hilo = grids_lo is not None
+
+        def ywin(a, ghost_shift=None):
+            if ghost_shift is None:
+                ym = jnp.roll(a, 1, axis=1)
+                yp = jnp.roll(a, -1, axis=1)
+            else:
+                ym = jnp.concatenate([a[:, -1:] - ghost_shift, a[:, :-1]],
+                                     axis=1)
+                yp = jnp.concatenate([a[:, 1:], a[:, :1] + ghost_shift],
+                                     axis=1)
+            return jnp.concatenate([ym, a, yp], axis=2)
+
+        def ywin_hilo(hi, lo, ghost):
+            sm, rm = two_sum(hi[:, -1:], -ghost)
+            sp, rp = two_sum(hi[:, :1], ghost)
+            ym = jnp.concatenate([sm, hi[:, :-1]], axis=1)
+            yp = jnp.concatenate([hi[:, 1:], sp], axis=1)
+            ym_lo = jnp.concatenate([lo[:, -1:] + rm, lo[:, :-1]], axis=1)
+            yp_lo = jnp.concatenate([lo[:, 1:], lo[:, :1] + rp], axis=1)
+            return (jnp.concatenate([ym, hi, yp], axis=2),
+                    jnp.concatenate([ym_lo, lo, yp_lo], axis=2))
+
+        if hilo:
+            pairs = [ywin_hilo(grids[k], grids_lo[k], cell[k, 1])
+                     for k in range(dim)]
+            win = [p[0] for p in pairs]
+            win_lo = [p[1] for p in pairs]
+            own_lo = [g.reshape(n_cells, cap, 1) for g in grids_lo]
+        else:
+            win = [ywin(grids[k], cell[k, 1]) for k in range(dim)]
+            win_lo = own_lo = None
+        win_diam = ywin(diam)
+        own = [g.reshape(n_cells, cap, 1) for g in grids]
+        own_diam3 = diam.reshape(n_cells, cap, 1)
+
+        i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
+        diag_bump = jnp.where(j_ids == i_ids + cap,
+                              jnp.asarray(1e30, dtype),
+                              jnp.zeros((), dtype))[None, :, :]
+
+        def pair_block(wc, wd, exclude_self, wc_lo=None):
+            wc = [w.reshape(n_cells, 1, 3 * cap) for w in wc]
+            wd = wd.reshape(n_cells, 1, 3 * cap)
+            if wc_lo is not None:
+                wc_lo = [w.reshape(n_cells, 1, 3 * cap) for w in wc_lo]
+                d_comps = []
+                for k in range(dim):
+                    s, e = two_sum(own[k], -wc[k])
+                    d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
+            else:
+                d_comps = [own[k] - wc[k] for k in range(dim)]
+            r2 = sum(dk * dk for dk in d_comps)
+            if exclude_self:
+                r2 = r2 + diag_bump
+            if observables:
+                u, f_over_r = self.potential.evaluate_r2(r2, own_diam3, wd)
+            else:
+                u = None
+                f_over_r = self.potential.force_r2(r2, own_diam3, wd)
+            return u, f_over_r, r2, d_comps
+
+        # Self column (ox = 0): every pair appears from both sides.
+        u, f_over_r, r2s, d_comps = pair_block(win, win_diam, True,
+                                               wc_lo=win_lo)
+        if observables:
+            energy = 0.5 * jnp.sum(u)
+            virial = 0.5 * jnp.sum(f_over_r * r2s)
+        else:
+            energy = virial = jnp.zeros((), dtype)
+        f_own = jnp.stack(
+            [jnp.sum(f_over_r * d_comps[k], axis=2) for k in range(dim)])
+
+        def unwindow(reaction):
+            r = reaction.reshape(nx, ny, 3, cap)
+            return (jnp.roll(r[..., 0, :], -1, axis=1) + r[..., 1, :]
+                    + jnp.roll(r[..., 2, :], 1, axis=1))
+
+        # x + 1 Newton half-stencil column.
+        if hilo:
+            wc, wc_lo = [], []
+            for k in range(dim):
+                top, r = two_sum(win[k][:1], cell[k, 0])
+                wc.append(jnp.concatenate([win[k][1:], top], axis=0))
+                wc_lo.append(jnp.concatenate(
+                    [win_lo[k][1:], win_lo[k][:1] + r], axis=0))
+        else:
+            wc = [jnp.concatenate([win[k][1:], win[k][:1] + cell[k, 0]],
+                                  axis=0) for k in range(dim)]
+            wc_lo = None
+        wd = jnp.concatenate([win_diam[1:], win_diam[:1]], axis=0)
+        u, f_over_r, r2s, d_comps = pair_block(wc, wd, False, wc_lo=wc_lo)
+        if observables:
+            energy = energy + jnp.sum(u)
+            virial = virial + jnp.sum(f_over_r * r2s)
+        for k in range(dim):
+            f_own = f_own.at[k].add(jnp.sum(f_over_r * d_comps[k], axis=2))
+            react = unwindow(-jnp.sum(f_over_r * d_comps[k], axis=1))
+            f_own = f_own.at[k].add(
+                jnp.roll(react, 1, axis=0).reshape(n_cells, cap))
+
+        return energy, virial, [f_own[k] for k in range(dim)]
 
     def _compute_zwindow(self, positions, diameters, cell, cell_inv,
                          nbrs: CellGridState):
@@ -471,7 +624,8 @@ class CellGridEngine:
 
         return energy, virial, [f_own[k] for k in range(dim)]
 
-    def _zwindow_sweep_scan(self, grids, diam, cell, observables=True):
+    def _zwindow_sweep_scan(self, grids, diam, cell, observables=True,
+                            grids_lo=None):
         """Memory-bounded variant of the z-window sweep: lax.scan over
         x-planes, carrying the +x reaction plane.
 
@@ -482,15 +636,31 @@ class CellGridEngine:
         reactions flow forward through the scan carry (the periodic wrap's
         reaction for plane 0 is the final carry). Same math, same
         reduction structure per plane; energy order differs only across
-        planes."""
+        planes.
+
+        ``grids_lo``: optional low words for the hi/lo (double-f32) pair
+        sweep — same mechanism as :meth:`_zwindow_sweep` (two_sum ghost
+        shifts, error-free hi differences), so the NVE drift gate's f32x2
+        precision mode composes with the >0.5M-particle scan capacity."""
+        from mdtpu.utils.math import two_sum
+
         dim = len(grids)
         dtype = grids[0].dtype
         cap = self.cell_capacity
         nx, ny, nz = self.grid
         m = ny * nz
+        hilo = grids_lo is not None
 
-        win = jnp.stack([ghost_z_window(grids[k], cell[k, 2])
-                         for k in range(dim)])          # (3, nx, ny, nz, 3C)
+        if hilo:
+            pairs = [ghost_z_window_hilo(grids[k], grids_lo[k], cell[k, 2])
+                     for k in range(dim)]
+            win = jnp.stack([p[0] for p in pairs])      # (3, nx, ny, nz, 3C)
+            win_lo = jnp.stack([p[1] for p in pairs])
+            lo_s = jnp.stack(grids_lo)                  # (3, nx, ny, nz, C)
+        else:
+            win = jnp.stack([ghost_z_window(grids[k], cell[k, 2])
+                             for k in range(dim)])      # (3, nx, ny, nz, 3C)
+            win_lo = lo_s = None
         win_diam = ghost_z_window(diam)                 # (nx, ny, nz, 3C)
         grids_s = jnp.stack(grids)                      # (3, nx, ny, nz, C)
 
@@ -511,6 +681,18 @@ class CellGridEngine:
                 return jnp.concatenate([right, w[:-1]], axis=0)
             return w
 
+        def yshift_hilo(w, w_lo, oy, gy):
+            # Ghost y shift through two_sum: residual into the lo word.
+            if oy == 1:
+                left, r = two_sum(w[:1], gy)
+                return (jnp.concatenate([w[1:], left], axis=0),
+                        jnp.concatenate([w_lo[1:], w_lo[:1] + r], axis=0))
+            if oy == -1:
+                right, r = two_sum(w[-1:], -gy)
+                return (jnp.concatenate([right, w[:-1]], axis=0),
+                        jnp.concatenate([w_lo[-1:] + r, w_lo[:-1]], axis=0))
+            return w, w_lo
+
         def unwindow_plane(reaction):
             # (m, 3C) window coords -> (ny, nz, C)
             r = reaction.reshape(ny, nz, 3, cap)
@@ -528,15 +710,39 @@ class CellGridEngine:
             wd = jax.lax.dynamic_index_in_dim(win_diam, i, 0, False)
             ip1 = (i + 1) % nx
             wrap = (i == nx - 1)
-            wp1 = [jax.lax.dynamic_index_in_dim(win[k], ip1, 0, False)
-                   + jnp.where(wrap, cell[k, 0], jnp.zeros((), dtype))
-                   for k in range(dim)]
             wd1 = jax.lax.dynamic_index_in_dim(win_diam, ip1, 0, False)
+            if hilo:
+                own_lo = [jax.lax.dynamic_index_in_dim(lo_s[k], i, 0, False)
+                          .reshape(m, cap, 1) for k in range(dim)]
+                wp_lo = [jax.lax.dynamic_index_in_dim(win_lo[k], i, 0, False)
+                         for k in range(dim)]
+                # Periodic +x ghost shift through two_sum, applied only on
+                # the wrap plane (residual folded into the lo word).
+                wp1, wp1_lo = [], []
+                for k in range(dim):
+                    h = jax.lax.dynamic_index_in_dim(win[k], ip1, 0, False)
+                    lo = jax.lax.dynamic_index_in_dim(win_lo[k], ip1, 0,
+                                                      False)
+                    s, r = two_sum(h, cell[k, 0])
+                    wp1.append(jnp.where(wrap, s, h))
+                    wp1_lo.append(jnp.where(wrap, lo + r, lo))
+            else:
+                own_lo = wp_lo = wp1_lo = None
+                wp1 = [jax.lax.dynamic_index_in_dim(win[k], ip1, 0, False)
+                       + jnp.where(wrap, cell[k, 0], jnp.zeros((), dtype))
+                       for k in range(dim)]
 
-            def block(wc, wdd, exclude_self):
+            def block(wc, wdd, exclude_self, wc_lo=None):
                 wc = [w.reshape(m, 1, 3 * cap) for w in wc]
                 wdd = wdd.reshape(m, 1, 3 * cap)
-                d_comps = [own[k] - wc[k] for k in range(dim)]
+                if wc_lo is not None:
+                    wc_lo = [w.reshape(m, 1, 3 * cap) for w in wc_lo]
+                    d_comps = []
+                    for k in range(dim):
+                        s, e = two_sum(own[k], -wc[k])
+                        d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
+                else:
+                    d_comps = [own[k] - wc[k] for k in range(dim)]
                 r2 = sum(dk * dk for dk in d_comps)
                 if exclude_self:
                     r2 = r2 + diag_bump
@@ -546,7 +752,7 @@ class CellGridEngine:
                     u, f = None, self.potential.force_r2(r2, own_d, wdd)
                 return u, f, r2, d_comps
 
-            u, f, r2s, dcs = block(wp, wd, True)
+            u, f, r2s, dcs = block(wp, wd, True, wc_lo=wp_lo)
             if observables:
                 energy = energy + 0.5 * jnp.sum(u)
                 virial = virial + 0.5 * jnp.sum(f * r2s)
@@ -557,9 +763,17 @@ class CellGridEngine:
             for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
                 src = wp1 if ox else wp
                 srcd = wd1 if ox else wd
-                wc = [yshift(src[k], oy, cell[k, 1]) for k in range(dim)]
+                if hilo:
+                    src_lo = wp1_lo if ox else wp_lo
+                    shifted = [yshift_hilo(src[k], src_lo[k], oy, cell[k, 1])
+                               for k in range(dim)]
+                    wc = [s[0] for s in shifted]
+                    wc_lo = [s[1] for s in shifted]
+                else:
+                    wc = [yshift(src[k], oy, cell[k, 1]) for k in range(dim)]
+                    wc_lo = None
                 wdd = yshift(srcd, oy, None)
-                u, f, r2s, dcs = block(wc, wdd, False)
+                u, f, r2s, dcs = block(wc, wdd, False, wc_lo=wc_lo)
                 if observables:
                     energy = energy + jnp.sum(u)
                     virial = virial + jnp.sum(f * r2s)
@@ -608,18 +822,20 @@ class CellGridEngine:
         # ~20 VPU ops per slot.
         diam = diameters.reshape(shape)
         grids = [positions[k].reshape(shape) for k in range(dim)]
-        if pos_lo is None:
-            if self.plane_scan and dim == 3:
-                energy, virial, f_own = self._zwindow_sweep_scan(
-                    grids, diam, cell, observables=observables)
-            else:
-                energy, virial, f_own = self._zwindow_sweep(
-                    grids, diam, cell, observables=observables)
+        # Hi/lo (double-f32): the Kahan compensation's negated low word
+        # rides along unchanged (deferred wrap keeps the pair coherent;
+        # rebuild applies its fold through kahan_add).
+        grids_lo = (None if pos_lo is None
+                    else [pos_lo[k].reshape(shape) for k in range(dim)])
+        if dim == 2:
+            energy, virial, f_own = self._ywindow_sweep(
+                grids, diam, cell, observables=observables,
+                grids_lo=grids_lo)
+        elif self.plane_scan and dim == 3:
+            energy, virial, f_own = self._zwindow_sweep_scan(
+                grids, diam, cell, observables=observables,
+                grids_lo=grids_lo)
         else:
-            # Hi/lo (double-f32): the Kahan compensation's negated low word
-            # rides along unchanged (deferred wrap keeps the pair coherent;
-            # rebuild applies its fold through kahan_add).
-            grids_lo = [pos_lo[k].reshape(shape) for k in range(dim)]
             energy, virial, f_own = self._zwindow_sweep(
                 grids, diam, cell, observables=observables,
                 grids_lo=grids_lo)

@@ -84,11 +84,32 @@ def run_simulation(
     compensated: bool = True,
     checkpoint_every: Optional[int] = None,
     perf_log: bool = False,
+    precision: str = "auto",
+    traj_frequency: Optional[int] = None,
 ) -> SimulationState:
     """Run ``total_steps`` of dynamics, writing thermo + trajectory every
     ``frequency`` steps (labels and ordering match the reference: outputs for
     step label ``s`` are written after executing loop iteration ``s``,
-    including s = 0). Returns the final state."""
+    including s = 0). Returns the final state.
+
+    ``precision``: pair-sweep precision on the slot fast path.
+      * ``"auto"`` (default): the f32x2 hi/lo pair sweep for f32 NVE runs —
+        the mode that passes the NVE drift gate (<1e-4 per 1e6 steps) at
+        ~full f32 speed (gates.py 'f32x2', BENCH_NOTES) — plain sweep
+        otherwise (NVT/Brownian inject stochastic noise far above the
+        coordinate-rounding floor, so the extra precision buys nothing).
+      * ``"f32x2"``: force the hi/lo sweep on.
+      * ``"plain"``: force it off.
+    The reference has exactly ONE user entry point carrying its fidelity
+    guarantees (/root/reference/src/simulation.jl:40); this knob keeps the
+    gate-passing mode on the same public path.
+
+    ``traj_frequency``: write trajectory frames every this many steps
+    (default: ``frequency``, the reference contract where thermo and
+    trajectory share a cadence, /root/reference/src/simulation.jl:118-151).
+    Setting it larger makes intermediate thermo events pull only the five
+    thermo scalars from the device instead of full particle rows — on a
+    remote-tunnel TPU that host pull dominates high-frequency output cost."""
     from mdtpu.ops import select_engine
 
     if engine is None:
@@ -127,15 +148,37 @@ def run_simulation(
     from mdtpu.ops.cell_grid import CellGridEngine
 
     use_slot = (isinstance(engine, CellGridEngine)
-                and state.dimension == 3 and len(engine.grid) == 3
+                and state.dimension == len(engine.grid)
+                and state.dimension in (2, 3)
                 and compensated)
+    if precision not in ("auto", "f32x2", "plain"):
+        raise ValueError(f"precision must be auto/f32x2/plain, got {precision!r}")
+    from mdtpu.core.types import NVE
+
+    hilo = use_slot and (
+        precision == "f32x2"
+        or (precision == "auto" and isinstance(ensemble, NVE)
+            and state.positions.dtype == jnp.float32))
     if use_slot:
         from mdtpu.integrate.slot_step import (
             make_slot_advance, slot_forces, slotify, unslotify_state)
 
-        state = slot_forces(slotify(state, engine), engine)
+        def build_slot(particle_state, engine):
+            """Slotify + initial forces, growing capacity until the initial
+            binning fits (an overflowing slotify would silently drop rows to
+            the trash column — the same loss mode the in-run restore-and-
+            rerun below guards against)."""
+            for _ in range(8):
+                s = slot_forces(slotify(particle_state, engine), engine)
+                if not bool(s.nbrs.overflow):
+                    return s, engine
+                engine = engine.with_grown_capacity()
+            raise RuntimeError("cell capacity still overflowing after 8 grows")
+
+        state, engine = build_slot(state, engine)
         advance = jax.jit(make_slot_advance(params, ensemble, engine,
-                                            compensated=compensated))
+                                            compensated=compensated,
+                                            hilo=hilo))
         step_fn = None
     else:
         # Materialise engine state + initial forces (deliberate fix: the
@@ -163,10 +206,16 @@ def run_simulation(
     thermo_steps = set(
         s for s in range(start_step, start_step + total_steps) if s % frequency == 0
     )
+    if traj_frequency is None:
+        traj_frequency = frequency
+    traj_steps = set(
+        s for s in range(start_step, start_step + total_steps)
+        if s % traj_frequency == 0
+    )
     # Events strictly below start_step (possible with log_times on a resumed
     # state: snap_set always contains 0 plus log-times below start_step)
     # would rewind `current` and re-execute steps with wrong labels.
-    event_steps = sorted(s for s in (thermo_steps | snap_set)
+    event_steps = sorted(s for s in (thermo_steps | traj_steps | snap_set)
                          if s >= start_step)
     end_step = start_step + total_steps
 
@@ -176,12 +225,19 @@ def run_simulation(
         if pending_item is None:
             return
         s, dev = pending_item
-        if use_slot:
+        has_rows = "positions" in dev
+        if use_slot and has_rows:
             # Compact real rows, restore original particle order, and fold
             # the deferred-wrap residual drift for in-box output rows.
             from mdtpu.integrate.slot_step import _host_wrap
 
             occ = np.asarray(dev["occupied"])
+            if int(occ.sum()) != n:
+                # Backstop: the overflow flag + restore-and-rerun should make
+                # this unreachable; losing rows silently corrupts the physics.
+                raise RuntimeError(
+                    f"slot state holds {int(occ.sum())} of {n} particles at "
+                    f"step {s} — capacity overflow recovery failed")
             order = np.argsort(np.asarray(dev["ids"])[occ])
             dev = dict(dev)
             for name in ("positions", "images"):
@@ -206,6 +262,7 @@ def run_simulation(
         if s in thermo_steps:
             with open(thermo_file, "a") as io:
                 io.write(f"{s} {ener:.6f} {t:.6f} {pressure:.6f}\n")
+        if s in traj_steps:
             traj_writer.write_frame(s, dev["unitcell"], dev["positions"],
                                     dev["images"], dev["diameters"])
         if s in snap_set:
@@ -213,22 +270,50 @@ def run_simulation(
                                dev["unitcell"], dev["positions"], dev["images"],
                                dev["diameters"], mode="w")
 
-    def check_overflow(state, engine, advance, step_fn):
-        """Engine capacity overflow (detected at event boundaries): rebuild
-        the engine with grown capacities and recompile — the fixed-shape
-        analog of CellListMap's dynamic cell lists."""
+    def run_segment(state, engine, advance, step_fn, n_adv):
+        """Advance ``n_adv`` steps, recovering from engine capacity overflow
+        (the fixed-shape analog of CellListMap's dynamic cell lists).
+
+        Slot mode: an overflowing rebin scatters rows past cell capacity to
+        the trash column — the particles would be PERMANENTLY lost (position,
+        velocity, identity), silently corrupting the run. So the pre-segment
+        state is kept, and on overflow the segment is restored and re-run
+        with grown capacity; the replay is deterministic (per-step RNG is
+        fold_in(key, step)), so no particle is ever lost and the recovered
+        trajectory is the one an always-large-enough capacity would have
+        produced.
+
+        Particle-order engines (neighbor-list/cell overflow) never drop
+        state rows — forces degrade transiently and recover fully on regrow
+        — so those keep the cheaper grow-and-continue."""
+        seg_start = state
+        state = advance(state, n_adv)
         nbrs = state.nbrs
-        if nbrs is None or not hasattr(nbrs, "overflow"):
+        if (nbrs is None or not hasattr(nbrs, "overflow")
+                or not bool(nbrs.overflow)):
             return state, engine, advance, step_fn
-        if not bool(nbrs.overflow):
-            return state, engine, advance, step_fn
-        engine = engine.with_grown_capacity()
         if use_slot:
-            state = slot_forces(slotify(unslotify_state(state), engine),
-                                engine)
-            advance = jax.jit(make_slot_advance(params, ensemble, engine,
-                                                compensated=compensated))
-            return state, engine, advance, step_fn
+            import warnings
+
+            for _ in range(8):
+                engine = engine.with_grown_capacity()
+                warnings.warn(
+                    f"slot capacity overflow in segment ending step "
+                    f"{int(state.step)}: restoring pre-segment state and "
+                    f"re-running with cell capacity {engine.cell_capacity}")
+                restored = slot_forces(
+                    slotify(unslotify_state(seg_start), engine), engine)
+                if bool(restored.nbrs.overflow):
+                    continue  # initial binning still too tight: grow again
+                advance = jax.jit(make_slot_advance(
+                    params, ensemble, engine, compensated=compensated,
+                    hilo=hilo))
+                state = advance(restored, n_adv)
+                if not bool(state.nbrs.overflow):
+                    return state, engine, advance, step_fn
+            raise RuntimeError(
+                "cell capacity still overflowing after 8 grows")
+        engine = engine.with_grown_capacity()
         nbrs = engine.allocate(state.positions, state.diameters,
                                state.unitcell, state.unitcell_inv)
         state = state.replace(nbrs=nbrs)
@@ -246,25 +331,28 @@ def run_simulation(
     for ev in event_steps:
         # Execute through loop iteration `ev` (i.e. ev - current + 1 steps).
         n_adv = ev - current + 1
-        state = advance(state, n_adv)
+        state, engine, advance, step_fn = run_segment(state, engine, advance,
+                                                      step_fn, n_adv)
         current = ev + 1
         if meter is not None:
             jax.block_until_ready(state.energy)
             meter.tick(ev, n_adv)
-        state, engine, advance, step_fn = check_overflow(state, engine,
-                                                         advance, step_fn)
         # Pull what the outputs need; dispatch happens before the previous
-        # event's write (flush) so I/O overlaps compute.
+        # event's write (flush) so I/O overlaps compute. Thermo-only events
+        # pull five scalars; particle rows ride along only when a trajectory
+        # frame or snapshot is actually written (on a remote-tunnel TPU the
+        # row pull is ~240 ms at N=65k — the dominant high-frequency cost).
         dev = {
             "energy": state.energy, "temperature": state.temperature,
             "virial": state.virial, "virial_accum": state.virial_accum,
-            "nprom": state.nprom, "positions": state.positions,
-            "images": state.images, "unitcell": state.unitcell,
-            "diameters": state.diameters,
+            "nprom": state.nprom,
         }
-        if use_slot:
-            dev["occupied"] = state.nbrs.occupied
-            dev["ids"] = state.ids
+        if ev in traj_steps or ev in snap_set:
+            dev.update(positions=state.positions, images=state.images,
+                       unitcell=state.unitcell, diameters=state.diameters)
+            if use_slot:
+                dev["occupied"] = state.nbrs.occupied
+                dev["ids"] = state.ids
         if is_brownian and ev in thermo_steps:
             # Reset accumulators after output
             # (/root/reference/src/simulation.jl:266).

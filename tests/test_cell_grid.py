@@ -247,3 +247,169 @@ def test_plane_scan_sweep_matches_dense():
     _, _, f2, _ = eng.replace(plane_scan=True).compute_slots(
         *args, observables=False)
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+
+
+def _fluid_2d(n=800, rho=0.5, tilt=0.0, dtype=jnp.float64, seed=7,
+              jitter=0.08):
+    from mdtpu.sim.initialization import lattice_positions
+
+    L = (n / rho) ** 0.5
+    cell = jnp.asarray([[L, tilt], [0.0, L]], dtype)
+    pos = lattice_positions(n, cell, 2, dtype=dtype, jitter=jitter,
+                            key=jax.random.PRNGKey(seed))
+    return pos, jnp.ones(n, dtype), cell, jnp.linalg.inv(cell)
+
+
+@pytest.mark.parametrize("tilt", [0.0, 3.0])
+def test_ywindow_sweep_matches_naive_2d(tilt):
+    # 2D cell grid on the same window fast path as 3D (y-window + x Newton
+    # half stencil), including triclinic cells — the reference is dimension-
+    # generic (/root/reference/src/types.jl:15-32) and previously 2D fell
+    # back to the roll engine (orthorhombic-only) or O(N^2).
+    pot = PseudoHS()
+    pos, diam, cell, cinv = _fluid_2d(tilt=tilt)
+    n = pos.shape[0]
+    naive = NaivePairEngine(potential=pot, cutoff=1.5)
+    e0, w0, f0, _ = naive.compute(pos, diam, cell, cinv, ())
+
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell), n)
+    assert len(eng.grid) == 2
+    nbrs = eng.allocate(pos, diam, cell, cinv)
+    assert not bool(nbrs.overflow)
+    e1, w1, f1, _ = eng.compute(pos, diam, cell, cinv, nbrs)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-9)
+    np.testing.assert_allclose(float(w1), float(w0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_2d_slot_sweep_and_tuned_engine_match_oracle():
+    from mdtpu.integrate.slot_step import slot_forces, slotify
+    from mdtpu.sim.initialization import build_state_from_arrays
+
+    pot = PseudoHS()
+    pos, diam, cell, cinv = _fluid_2d(n=1200, rho=0.6)
+    n = pos.shape[0]
+    naive = NaivePairEngine(potential=pot, cutoff=1.5)
+    e0, w0, f0, _ = naive.compute(pos, diam, cell, cinv, ())
+
+    eng = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n)
+    assert len(eng.grid) == 2
+    state = build_state_from_arrays(pos, diam, cell, jax.random.PRNGKey(0),
+                                    dtype=jnp.float64, cutoff=1.5)
+    st = slot_forces(slotify(state, eng), eng)
+    np.testing.assert_allclose(float(st.energy), float(e0), rtol=1e-9)
+    np.testing.assert_allclose(float(st.virial), float(w0), rtol=1e-9)
+    occ = np.asarray(st.nbrs.occupied)
+    ids = np.asarray(st.ids)[occ]
+    f_slot = np.asarray(st.forces).T[occ][np.argsort(ids)]
+    np.testing.assert_allclose(f_slot, np.asarray(f0), rtol=1e-8, atol=1e-9)
+
+
+def test_2d_hilo_pair_sweep_accuracy():
+    # The f32x2 precision mode works in 2D through the y-window sweep.
+    from mdtpu.integrate.slot_step import _scatter_rows
+    from mdtpu.ops.cell_grid import CellGridState
+
+    # Dense config: strong pair forces push the f32 kernel-arithmetic floor
+    # well below the coordinate-truncation noise the hilo mode removes.
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    pos64, diam64, cell64, cinv64 = _fluid_2d(n=800, rho=0.9, seed=11,
+                                              jitter=0.12)
+    n = pos64.shape[0]
+    naive = NaivePairEngine(potential=pot, cutoff=1.5)
+    _, _, f_ref, _ = naive.compute(pos64, diam64, cell64, cinv64, ())
+
+    hi = pos64.astype(jnp.float32)
+    lo = (pos64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    cell32, cinv32 = cell64.astype(jnp.float32), cinv64.astype(jnp.float32)
+    diam32 = diam64.astype(jnp.float32)
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell64), n)
+    nbrs = eng.allocate(hi, diam32, cell32, cinv32)
+    assert not bool(nbrs.overflow)
+    n_slots = int(np.prod(eng.grid)) * eng.cell_capacity
+    addr = nbrs.addr
+    hi_rows = _scatter_rows(hi.T, addr, n_slots, "far")
+    lo_rows = _scatter_rows(lo.T, addr, n_slots, 0)
+    occupied = jnp.zeros((n_slots + 1,), bool).at[addr].set(True)[:-1]
+    diam_slot = jnp.ones((n_slots + 1,), jnp.float32).at[addr].set(diam32)[:-1]
+    slot_nbrs = CellGridState(
+        addr=jnp.arange(n_slots, dtype=jnp.int32), occupied=occupied,
+        sorted_diam=diam_slot, ref_positions=hi_rows, overflow=nbrs.overflow)
+
+    _, _, f_plain, _ = eng.compute_slots(hi_rows, diam_slot, cell32, cinv32,
+                                         slot_nbrs)
+    _, _, f_hilo, _ = eng.compute_slots(hi_rows, diam_slot, cell32, cinv32,
+                                        slot_nbrs, pos_lo=lo_rows)
+    f_ref_slots = np.zeros((2, n_slots))
+    f_ref_slots[:, np.asarray(addr)] = np.asarray(f_ref).T
+    scale = np.abs(np.asarray(f_ref)).max()
+    err_plain = np.abs(np.asarray(f_plain, np.float64) - f_ref_slots).max() / scale
+    err_hilo = np.abs(np.asarray(f_hilo, np.float64) - f_ref_slots).max() / scale
+    assert err_hilo < err_plain / 3, (err_hilo, err_plain)
+    assert err_hilo < 1e-6, err_hilo
+
+
+def test_hilo_composes_with_plane_scan():
+    # The f32x2 precision mode must survive the switch to the memory-bounded
+    # scan sweep (mandatory beyond ~0.5M particles): same two_sum ghost
+    # shifts, same error floor vs the f64 oracle as the dense hilo sweep.
+    from mdtpu.integrate.slot_step import _scatter_rows
+    from mdtpu.ops.cell_grid import CellGridState
+    from mdtpu.sim.initialization import lattice_positions
+
+    key = jax.random.PRNGKey(3)
+    n, rho = 512, 0.7
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    L = (n / rho) ** (1.0 / 3.0)
+    cell64 = jnp.eye(3, dtype=jnp.float64) * L
+    pos64 = lattice_positions(n, cell64, 3, dtype=jnp.float64, jitter=0.12,
+                              key=key)
+    diam64 = jnp.ones(n, jnp.float64)
+    naive = NaivePairEngine(potential=pot, cutoff=1.5)
+    _, _, f_ref, _ = naive.compute(pos64, diam64, cell64,
+                                   jnp.linalg.inv(cell64), ())
+
+    hi = pos64.astype(jnp.float32)
+    lo = (pos64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    cell32 = cell64.astype(jnp.float32)
+    cinv32 = jnp.linalg.inv(cell64).astype(jnp.float32)
+    diam32 = diam64.astype(jnp.float32)
+
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(cell64), n)
+    nbrs = eng.allocate(hi, diam32, cell32, cinv32)
+    assert not bool(nbrs.overflow)
+    n_slots = int(np.prod(eng.grid)) * eng.cell_capacity
+    addr = nbrs.addr
+    hi_rows = _scatter_rows(hi.T, addr, n_slots, "far")
+    lo_rows = _scatter_rows(lo.T, addr, n_slots, 0)
+    occupied = jnp.zeros((n_slots + 1,), bool).at[addr].set(True)[:-1]
+    diam_slot = jnp.ones((n_slots + 1,), jnp.float32).at[addr].set(diam32)[:-1]
+    slot_nbrs = CellGridState(
+        addr=jnp.arange(n_slots, dtype=jnp.int32), occupied=occupied,
+        sorted_diam=diam_slot, ref_positions=hi_rows, overflow=nbrs.overflow)
+
+    e_d, w_d, f_dense, _ = eng.compute_slots(hi_rows, diam_slot, cell32,
+                                             cinv32, slot_nbrs,
+                                             pos_lo=lo_rows)
+    scan = eng.replace(plane_scan=True)
+    e_s, w_s, f_scan, _ = scan.compute_slots(hi_rows, diam_slot, cell32,
+                                             cinv32, slot_nbrs,
+                                             pos_lo=lo_rows)
+
+    f_ref_slots = np.zeros((3, n_slots))
+    f_ref_slots[:, np.asarray(addr)] = np.asarray(f_ref).T
+    scale = np.abs(np.asarray(f_ref)).max()
+    err_scan = np.abs(np.asarray(f_scan, np.float64) - f_ref_slots).max() / scale
+    assert err_scan < 1e-6, err_scan  # hilo error floor, not plain-f32 ~1e-4
+    # Scan vs dense hilo: identical math, reduction order differs only across
+    # planes — forces agree to a few f32 ulps of the force scale.
+    np.testing.assert_allclose(np.asarray(f_scan), np.asarray(f_dense),
+                               atol=5e-5 * scale, rtol=0)
+    np.testing.assert_allclose(float(e_s), float(e_d), rtol=1e-5)
+    np.testing.assert_allclose(float(w_s), float(w_d), rtol=1e-5)
+    # Lean mode: forces bitwise identical to the observable sweep.
+    _, _, f_lean, _ = scan.compute_slots(hi_rows, diam_slot, cell32, cinv32,
+                                         slot_nbrs, observables=False,
+                                         pos_lo=lo_rows)
+    np.testing.assert_array_equal(np.asarray(f_lean), np.asarray(f_scan))

@@ -274,6 +274,161 @@ def test_slot_driver_checkpoint_resume(tmp_path):
     assert abs(e1 - e0) / abs(e0) < 1e-6
 
 
+def _f32_cell_system(tmp_path, n=500, seed=21):
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    pot = PseudoHS()
+    params = Parameters(density=0.5, n_particles=n, dt=0.001, potential=pot)
+    state = initialize_state(params, str(tmp_path), dimension=3, cutoff=1.5,
+                             dtype=jnp.float32, seed=seed)
+    state = state.replace(velocities=initialize_velocities(
+        1.0, jax.random.PRNGKey(seed + 1), n, 3, dtype=jnp.float32))
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(state.unitcell), n)
+    return state, params, eng
+
+
+def test_driver_precision_f32x2_matches_slot_hilo_bitwise(tmp_path):
+    """The public driver's precision='f32x2' must run EXACTLY the hi/lo slot
+    loop that passes the NVE drift gate (gates.py 'f32x2') — same advance,
+    same segmentation, bit-for-bit final state. The gate-passing mode lives
+    on the one public path, like the reference's single run_simulation!
+    (/root/reference/src/simulation.jl:40)."""
+    from mdtpu.integrate.slot_step import (make_slot_advance, slot_forces,
+                                           slotify, unslotify_state)
+
+    state, params, eng = _f32_cell_system(tmp_path)
+    out = run_simulation(state, params, NVE(), 40, 10,
+                         str(tmp_path / "drv"), engine=eng,
+                         precision="f32x2")
+
+    # Replicate the driver's event segmentation by hand on the slot loop.
+    s = slot_forces(slotify(state, eng), eng)
+    adv = jax.jit(make_slot_advance(params, NVE(), eng, hilo=True))
+    for ev_prev, ev in zip([-1, 0, 10, 20, 30], [0, 10, 20, 30, 39]):
+        s = adv(s, ev - ev_prev)
+    manual = unslotify_state(s)
+    np.testing.assert_array_equal(np.asarray(out.positions),
+                                  np.asarray(manual.positions))
+    np.testing.assert_array_equal(np.asarray(out.velocities),
+                                  np.asarray(manual.velocities))
+
+
+def test_driver_precision_auto_defaults_to_hilo_for_f32_nve(tmp_path):
+    state, params, eng = _f32_cell_system(tmp_path)
+    out_auto = run_simulation(state, params, NVE(), 40, 40,
+                              str(tmp_path / "auto"), engine=eng)
+    out_hilo = run_simulation(state, params, NVE(), 40, 40,
+                              str(tmp_path / "hilo"), engine=eng,
+                              precision="f32x2")
+    out_plain = run_simulation(state, params, NVE(), 40, 40,
+                               str(tmp_path / "plain"), engine=eng,
+                               precision="plain")
+    np.testing.assert_array_equal(np.asarray(out_auto.positions),
+                                  np.asarray(out_hilo.positions))
+    # The plain sweep's coordinate rounding diverges within a few steps.
+    assert not np.array_equal(np.asarray(out_auto.positions),
+                              np.asarray(out_plain.positions))
+
+
+def test_traj_frequency_decouples_trajectory_from_thermo(tmp_path):
+    state, params, eng = _f32_cell_system(tmp_path)
+    p = str(tmp_path / "run")
+    run_simulation(state, params, NVT(1.0, 0.1), 40, 5, p, engine=eng,
+                   traj_frequency=20)
+    rows = np.loadtxt(os.path.join(p, "thermo.txt"))
+    np.testing.assert_array_equal(rows[:, 0], np.arange(0, 40, 5))
+    traj = open(os.path.join(p, "trajectory.xyz")).read()
+    assert traj.count("ITEM: TIMESTEP") == 2  # frames at 0 and 20 only
+    # Physics identical to the coupled-cadence run (pull size is the only
+    # difference).
+    p2 = str(tmp_path / "ref")
+    run_simulation(state, params, NVT(1.0, 0.1), 40, 5, p2, engine=eng)
+    rows2 = np.loadtxt(os.path.join(p2, "thermo.txt"))
+    np.testing.assert_array_equal(rows, rows2)
+
+
+def test_slot_overflow_restores_and_reruns_without_particle_loss(tmp_path):
+    """Capacity overflow on the slot path must never lose particles
+    (previously an overflowing rebin silently scattered rows to the trash
+    column, permanently deleting them): the driver restores the pre-segment
+    state and re-runs with grown capacity. Overflow is forced
+    deterministically by aiming one particle at the fullest cell of a
+    capacity-exact engine."""
+    state, params, eng = _f32_cell_system(tmp_path, seed=31)
+    n = state.n_particles
+    nbrs = eng.allocate(state.positions, state.diameters, state.unitcell,
+                        state.unitcell_inv)
+    cap = eng.cell_capacity
+    addr = np.asarray(nbrs.addr)
+    n_cells = int(np.prod(eng.grid))
+    cid = addr // cap
+    counts = np.bincount(cid[cid < n_cells], minlength=n_cells)
+    c_star = int(counts.argmax())
+    tight = eng.replace(cell_capacity=int(counts.max()))
+
+    # Walk the particle nearest to c_star (but outside it) into c_star's
+    # center at moderate speed (per-step displacement ~0.02 resolves core
+    # collisions — a fast insertion would deposit unbounded energy): the
+    # skin rebins catch it inside c_star, pushing occupancy past the exact
+    # capacity.
+    nx, ny, nz = eng.grid
+    cix, ciy, ciz = c_star // (ny * nz), (c_star // nz) % ny, c_star % nz
+    L = np.diag(np.asarray(state.unitcell))
+    center = (np.asarray([cix, ciy, ciz]) + 0.5) / np.asarray([nx, ny, nz]) * L
+    pos = np.asarray(state.positions)
+    d = np.linalg.norm(pos - center, axis=1)
+    d[cid == c_star] = np.inf
+    j = int(d.argmin())
+    v_aim = (center - pos[j]) / np.linalg.norm(center - pos[j]) * 20.0
+    state = state.replace(velocities=state.velocities.at[j].set(
+        jnp.asarray(v_aim, jnp.float32)))
+    n_steps = int(np.linalg.norm(center - pos[j]) / (20.0 * 0.001)) + 60
+
+    with pytest.warns(UserWarning, match="capacity overflow"):
+        out = run_simulation(state, params, NVE(), n_steps, 40,
+                             str(tmp_path / "tight"), engine=tight)
+    # All N particles present and finite (the flush backstop would have
+    # raised on any loss).
+    assert out.positions.shape == (n, 3)
+    assert np.isfinite(np.asarray(out.positions)).all()
+    v_out = np.asarray(out.velocities)
+    assert np.isfinite(v_out).all()
+    # Dynamics stayed physical (no f32 force blowup from the insertion).
+    assert float(np.abs(v_out).max()) < 1e3
+    rows = np.loadtxt(os.path.join(tmp_path, "tight", "thermo.txt"))
+    assert np.isfinite(rows).all()
+
+
+def test_driver_2d_slot_fast_path_matches_naive(tmp_path):
+    """2D runs ride the same slot fast path as 3D (y-window sweep) through
+    the public driver — previously 2D fell back to slower engines. Physics
+    must match the naive-engine particle-order run."""
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    pot = PseudoHS()
+    n = 600
+    params = Parameters(density=0.6, n_particles=n, dt=0.001, potential=pot)
+    state = initialize_state(params, str(tmp_path), dimension=2, cutoff=1.5,
+                             dtype=jnp.float64, seed=13)
+    state = state.replace(velocities=initialize_velocities(
+        1.0, jax.random.PRNGKey(14), n, 2, dtype=jnp.float64))
+
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(state.unitcell), n)
+    assert len(eng.grid) == 2
+    p_slot, p_ref = str(tmp_path / "slot"), str(tmp_path / "ref")
+    out_slot = run_simulation(state, params, NVT(1.0, 0.1), 60, 20, p_slot,
+                              engine=eng)
+    out_ref = run_simulation(state, params, NVT(1.0, 0.1), 60, 20, p_ref,
+                             engine=NaivePairEngine(potential=pot, cutoff=1.5))
+    assert out_slot.ids is None and out_slot.positions.shape == (n, 2)
+    np.testing.assert_allclose(np.asarray(out_slot.positions),
+                               np.asarray(out_ref.positions),
+                               rtol=1e-8, atol=1e-9)
+    rows_s = np.loadtxt(os.path.join(p_slot, "thermo.txt"))
+    rows_r = np.loadtxt(os.path.join(p_ref, "thermo.txt"))
+    np.testing.assert_allclose(rows_s, rows_r, rtol=1e-6, atol=1e-7)
+
+
 def test_driver_slot_log_times_and_compress(tmp_path):
     """log-spaced snapshots and zstd compression through the slot fast path:
     snapshot files appear at the log times with in-box particle-order rows,
