@@ -36,17 +36,22 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.ops.neighbor_list import NeighborListEngine, _grid_for_box
 
+    from mdtpu.potentials.base import check_engine_cutoff
+
+    max_sigma = 1.0
     if state is not None:
         unitcell = state.unitcell
         n_particles = state.n_particles
+        max_sigma = float(np.max(np.asarray(state.diameters)))
+    check_engine_cutoff(potential, cutoff, max_sigma)
 
     if prefer == "naive":
         return NaivePairEngine(potential=potential, cutoff=cutoff)
 
     ortho = unitcell is not None and is_orthorhombic(unitcell)
-    dim = None if unitcell is None else np.asarray(unitcell).shape[0]
+    # The window sweeps handle triclinic cells in 2D and 3D (ghost shifts
+    # are full cell vectors).
     grid_ok = (unitcell is not None
-               and (ortho or dim == 3)  # 2D cell grid is orthorhombic-only
                and _grid_for_box(np.asarray(unitcell), float(cutoff),
                                  float(skin)) is not None)
     if prefer is None and (n_particles is None or n_particles <= _NAIVE_MAX_N):
@@ -57,11 +62,12 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     if prefer == "neighbor":
         return NeighborListEngine.create(
             potential=potential, cutoff=float(cutoff), skin=float(skin),
-            unitcell=np.asarray(unitcell), n_particles=int(n_particles))
+            unitcell=np.asarray(unitcell), n_particles=int(n_particles),
+            max_sigma=max_sigma)
     if prefer == "cellgrid":
         return CellGridEngine.create_tuned(
             potential, float(cutoff), np.asarray(unitcell), int(n_particles),
-            min_skin=float(skin))
+            min_skin=float(skin), max_sigma=max_sigma)
 
     if jax.default_backend() == "cpu" and ortho:
         return NeighborListEngine.create(
@@ -71,7 +77,7 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     # 2.5x faster than cutoff-sized cells and ~4x fewer rebuilds.
     return CellGridEngine.create_tuned(
         potential, float(cutoff), np.asarray(unitcell), int(n_particles),
-        min_skin=float(skin))
+        min_skin=float(skin), max_sigma=max_sigma)
 
 
 __all__ = ["NaivePairEngine", "select_engine"]

@@ -10,9 +10,19 @@ single traceable method on a pytree dataclass:
 where ``r`` may be any-shaped array of pair distances (guaranteed > 0 by the
 engine), and ``f`` is the scalar force magnitude ``-dV/dr`` so that the pair
 force vector is ``f * dr / r`` (same convention as
-/root/reference/src/pairwise.jl:32). Cutoff behaviour is internal to the
-potential (it must return (0, 0) beyond its own cutoff); the engine applies an
-additional global cutoff mask, exactly like CellListMap does in the reference.
+/root/reference/src/pairwise.jl:32).
+
+CUTOFF CONTRACT (load-bearing): the potential MUST return exact zeros
+``(0, 0)`` for every pair beyond its own cutoff, for arbitrarily large ``r``
+(including the engines' far-pad distances ~1e6 and self-pair bumps ~1e30).
+The production cell-grid sweep carries NO engine-level cutoff mask — the
+compare+selects were ~8% of the pair sweep (mdtpu/ops/cell_grid.py) — so a
+potential that returns nonzero tails beyond the engine's cell reach would
+silently produce stencil-truncated (anisotropic) interactions. Engines
+validate coverage at creation via :meth:`Potential.max_cutoff` /
+:func:`check_engine_cutoff`; user potentials should implement
+``max_cutoff`` to opt in to that validation (without it the engine trusts
+the user-supplied engine cutoff).
 
 User-defined potentials subclass ``Potential`` (as a ``flax.struct.dataclass``)
 and implement ``evaluate``; they then work in every engine, the minimizer, and
@@ -63,6 +73,17 @@ class Potential:
         the force expression shares no work with the energy."""
         return self.evaluate_r2(r2, sigma_i, sigma_j)[1]
 
+    def max_cutoff(self, max_sigma=1.0):
+        """Largest pair distance at which this potential is nonzero, given
+        the largest particle diameter in the system (Lorentz mixing makes
+        the worst-case pair sigma equal to ``max_sigma``). Engines compare
+        this against their own cutoff at creation (see module docstring:
+        the hot sweep has no engine-level mask, so the engine cutoff MUST
+        cover the potential's full range). Returns None when unknown (user
+        potentials implementing only ``evaluate``) — validation is then
+        skipped and the user-supplied engine cutoff is trusted."""
+        return None
+
     # Long-range (tail) corrections; generic no-op interface mirroring
     # /root/reference/src/potentials.jl:281-293. Overrides return the *total*
     # system correction (energy) / correction to pressure.
@@ -71,6 +92,20 @@ class Potential:
 
     def pressure_lrc(self, n_particles, volume):
         return jnp.asarray(0.0)
+
+
+def check_engine_cutoff(potential, cutoff, max_sigma=1.0):
+    """Raise if the engine's cutoff does not cover the potential's maximum
+    interaction range (which would silently truncate interactions
+    anisotropically — the engines' pair sweeps carry no cutoff mask)."""
+    fn = getattr(potential, "max_cutoff", None)
+    mc = fn(max_sigma) if fn is not None else None
+    if mc is not None and float(cutoff) < float(mc) - 1e-9:
+        raise ValueError(
+            f"engine cutoff {float(cutoff):g} is smaller than the "
+            f"potential's maximum interaction range {float(mc):g} "
+            f"(max diameter {float(max_sigma):g}); pairs beyond the cell "
+            f"reach would be silently dropped — increase the engine cutoff")
 
 
 def evaluate(potential, r, sigma_i=1.0, sigma_j=1.0):

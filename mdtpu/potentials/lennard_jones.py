@@ -54,6 +54,11 @@ class LennardJones(Potential):
             return jnp.asarray(self.sigma, dtype)
         return 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
 
+    def max_cutoff(self, max_sigma=1.0):
+        # The kernel cuts at fixed r_cut regardless of sigma
+        # (/root/reference/src/potentials.jl:160-164).
+        return float(self.r_cut)
+
     def evaluate(self, r, sigma_i=1.0, sigma_j=1.0):
         dtype = jnp.asarray(r).dtype
         eps = jnp.asarray(self.epsilon, dtype)

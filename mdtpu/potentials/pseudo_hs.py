@@ -38,6 +38,10 @@ class PseudoHS(Potential):
     lam: int = struct.field(pytree_node=False, default=50)
     sigma_scaled_cutoff: bool = struct.field(pytree_node=False, default=True)
 
+    def max_cutoff(self, max_sigma=1.0):
+        return B_PARAM * float(max_sigma) if self.sigma_scaled_cutoff \
+            else B_PARAM
+
     def evaluate(self, r, sigma_i=1.0, sigma_j=1.0):
         lam = self.lam
         dtype = jnp.asarray(r).dtype

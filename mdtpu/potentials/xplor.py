@@ -58,6 +58,9 @@ class LennardJonesXPLOR(Potential):
     tail_correction: bool = struct.field(pytree_node=False, default=False)
     mixing: str = struct.field(pytree_node=False, default="lorentz")
 
+    def max_cutoff(self, max_sigma=1.0):
+        return float(self.r_cut)
+
     def evaluate(self, r, sigma_i=1.0, sigma_j=1.0):
         dtype = jnp.asarray(r).dtype
         eps = jnp.asarray(self.epsilon, dtype)

@@ -165,3 +165,31 @@ def test_lj_lrc_prefactors():
     v = lambda r: 4 * eps * ((sig / r) ** 12 - (sig / r) ** 6)
     e_num = 2 * np.pi * rho * n * si.quad(lambda r: v(r) * r * r, rc, np.inf)[0]
     np.testing.assert_allclose(float(pot.energy_lrc(n, volume)), e_num, rtol=1e-8)
+
+
+def test_engine_cutoff_must_cover_potential_range():
+    # The hot sweep has no engine-level cutoff mask (potential contract:
+    # exact zeros beyond its own cutoff) — so engine creation must reject a
+    # cutoff smaller than the potential's maximum interaction range.
+    import numpy as np
+    import pytest
+
+    from mdtpu.ops import select_engine
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.potentials.lennard_jones import LennardJones
+    from mdtpu.potentials.pseudo_hs import PseudoHS
+
+    cell = np.eye(3) * 30.0
+    lj = LennardJones(r_cut=2.5)
+    with pytest.raises(ValueError, match="maximum interaction range"):
+        CellGridEngine.create(lj, 1.5, 0.3, cell, 1000)
+    with pytest.raises(ValueError, match="maximum interaction range"):
+        CellGridEngine.create_tuned(lj, 2.0, cell, 1000)
+    # Sigma-scaled pseudo-HS: a large diameter stretches the range past a
+    # cutoff that would be fine for sigma=1.
+    phs = PseudoHS()
+    assert CellGridEngine.create(phs, 1.5, 0.3, cell, 1000) is not None
+    with pytest.raises(ValueError, match="maximum interaction range"):
+        CellGridEngine.create(phs, 1.5, 0.3, cell, 1000, max_sigma=1.6)
+    with pytest.raises(ValueError, match="maximum interaction range"):
+        select_engine(lj, 1.5, unitcell=cell, n_particles=1000)
