@@ -7,12 +7,14 @@ events, and particle migration (reshard) happens at a fixed cadence of
 event boundaries — spatial domain decomposition with deterministic,
 collective-free control flow inside the hot loop.
 
-Scope notes vs the single-device driver: thermo output is format-identical
-(energy/virial/temperature are replicated scalars); trajectory frames are
-written from the *currently valid* rows, whose order changes when particles
-migrate between slabs at reshard boundaries (particle identity is not
-tracked across reshards yet), so per-particle time series should use the
-single-device driver. Checkpointing the padded state round-trips exactly.
+Output parity with the single-device driver: thermo rows, LAMMPS trajectory
+frames, log-spaced snapshots, final.xyz, optional zstd compression and
+checkpoint/resume are all format-identical
+(/root/reference/src/simulation.jl:118-171,11-36). Particle identity is
+carried through every reshard by an ``ids`` row (pad_state/reshard in
+mdtpu.parallel.halo), so trajectory rows come back in ORIGINAL particle
+order even as particles migrate between slabs; checkpoints and the returned
+final state are ordinary (N, d) particle-order states (unpad_state).
 """
 
 from __future__ import annotations
@@ -26,15 +28,18 @@ import numpy as np
 
 from mdtpu.core.box import box_volume
 from mdtpu.core.types import Brownian, Parameters, SimulationState
+from mdtpu.io.lammps import write_lammps_frame
+from mdtpu.io.logtimes import generate_log_times
 from mdtpu.parallel.halo import (
     HaloCellGridEngine,
     allocate_sharded,
     pad_state,
     reshard,
+    unpad_state,
 )
 from mdtpu.parallel.mesh import make_mesh
 from mdtpu.parallel.sharded import make_shard_map_step, shard_state
-from mdtpu.sim.driver import THERMO_HEADER, open_files
+from mdtpu.sim.driver import THERMO_HEADER, finalize_simulation, open_files
 
 
 def run_simulation_sharded(
@@ -51,10 +56,14 @@ def run_simulation_sharded(
     reshard_every: Optional[int] = None,
     margin: float = 0.3,
     compensated: bool = True,
+    traj_name: str = "trajectory.xyz",
     thermo_name: str = "thermo.txt",
+    compress: bool = False,
+    log_times: bool = False,
+    checkpoint_every: Optional[int] = None,
 ) -> SimulationState:
-    """Run ``total_steps`` over the mesh; returns the final PADDED state
-    (use ``valid_rows`` to extract particles).
+    """Run ``total_steps`` over the mesh; returns the final state in
+    ordinary (N, d) particle order (same contract as ``run_simulation``).
 
     ``reshard_every``: migrate particles to their owner slabs every this many
     steps (default: ``frequency``). Between reshards particles may drift up
@@ -66,13 +75,20 @@ def run_simulation_sharded(
         mesh = make_mesh(n_devices)
     n = state.n_particles
     if engine is None:
-        engine = HaloCellGridEngine.create(
-            params.potential, float(state.cutoff), 0.3,
-            np.asarray(state.unitcell), n, n_shards=mesh.devices.size)
+        engine = HaloCellGridEngine.create_tuned(
+            params.potential, float(state.cutoff), np.asarray(state.unitcell),
+            n, n_shards=mesh.devices.size)
 
-    _, thermo_file = open_files(pathname, "unused.traj", thermo_name)
+    trajectory_file, thermo_file = open_files(pathname, traj_name,
+                                              thermo_name)
     with open(thermo_file, "a") as io:
         io.write(THERMO_HEADER)
+    from mdtpu.io.native_writer import open_trajectory_writer
+
+    traj_path = trajectory_file + ".zst" if compress else trajectory_file
+    if os.path.isfile(traj_path):
+        os.remove(traj_path)
+    traj_writer = open_trajectory_writer(traj_path, compress=compress)
 
     volume = float(box_volume(state.unitcell))
     dim = state.dimension
@@ -81,6 +97,7 @@ def run_simulation_sharded(
     e_lrc = float(potential.energy_lrc(n, volume))
     p_lrc = float(potential.pressure_lrc(n, volume))
     is_brownian = isinstance(ensemble, Brownian)
+    trash = engine.mx * engine.grid[1] * engine.grid[2] * engine.cell_capacity
 
     def do_reshard(s):
         s, overflow = reshard(s, engine)
@@ -97,17 +114,17 @@ def run_simulation_sharded(
 
     # Initial forces (the first half-kick must not use zeros; same deliberate
     # fix as the single-device driver).
-    if not is_brownian:
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        ax = engine.axis_name
-        forces_fn = jax.jit(jax.shard_map(
-            lambda x, d, c, ci, nb: engine.compute(x, d, c, ci, nb)[:3],
-            mesh=mesh,
-            in_specs=(P(ax), P(ax), P(), P(), engine.nbrs_partition_specs()),
-            out_specs=(P(), P(), P(ax)),
-            check_vma=False,
-        ))
+    ax = engine.axis_name
+    forces_fn = jax.jit(jax.shard_map(
+        lambda x, d, c, ci, nb: engine.compute(x, d, c, ci, nb)[:3],
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(), P(), engine.nbrs_partition_specs()),
+        out_specs=(P(), P(), P(ax)),
+        check_vma=False,
+    ))
+    if not is_brownian:
         e0, w0, f0 = forces_fn(sh.positions, sh.diameters, sh.unitcell,
                                sh.unitcell_inv, sh.nbrs)
         sh = sh.replace(forces=f0, energy=e0, virial=w0)
@@ -125,10 +142,31 @@ def run_simulation_sharded(
 
     start_step = int(sh.step)
     end_step = start_step + total_steps
-    events = sorted(set(
-        list(range(start_step, end_step, frequency))
-        + list(range(start_step, end_step, reshard_every))))
+    snap_set = set()
+    if log_times:
+        snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
+        snap_set = set([0] + [s for s in snaps if s < end_step])
+    thermo_steps = set(range(start_step, end_step, frequency))
+    events = sorted(
+        s for s in (thermo_steps | snap_set
+                    | set(range(start_step, end_step, reshard_every)))
+        if s >= start_step)
     since_reshard = 0
+
+    def host_rows(s):
+        """Pull valid rows to the host in original particle order."""
+        addr = np.asarray(s.nbrs.addr)
+        valid = addr < trash
+        ids = np.asarray(s.ids)[valid]
+        if ids.size != n:
+            raise RuntimeError(
+                f"sharded state holds {ids.size} of {n} particles — "
+                f"slab/capacity overflow recovery failed")
+        order = np.argsort(ids)
+        pos = np.asarray(s.positions)[valid][order]
+        img = np.asarray(s.images)[valid][order]
+        diam = np.asarray(s.diameters)[valid][order]
+        return pos, img, diam
 
     current = start_step
     for ev in events:
@@ -138,6 +176,13 @@ def run_simulation_sharded(
         since_reshard += n_adv
         flagged = bool(sh.nbrs.overflow)
         if flagged or since_reshard >= reshard_every:
+            if flagged:
+                import warnings
+
+                warnings.warn(
+                    f"halo staleness/capacity flag in segment ending step "
+                    f"{ev}: emergency reshard (consider a smaller "
+                    f"reshard_every or larger skin)")
             sh = do_reshard(sh)
             since_reshard = 0
             if flagged:
@@ -147,25 +192,50 @@ def run_simulation_sharded(
                                            sh.unitcell, sh.unitcell_inv,
                                            sh.nbrs)
                     sh = sh.replace(forces=f0, energy=e0, virial=w0)
-        if (ev - start_step) % frequency == 0:
-            e = float(sh.energy)
-            t = float(sh.temperature)
-            if is_brownian:
-                nprom = max(int(sh.nprom), 1)
-                ener = e / n
-                pressure = float(sh.virial_accum) / (dim * nprom * volume) \
-                    + density * float(ensemble.ktemp)
-                t = float(ensemble.ktemp)
-            else:
-                ener = (e + e_lrc) / n
-                pressure = float(sh.virial) / (dim * volume) + density * t \
-                    + p_lrc
-            with open(thermo_file, "a") as io:
-                io.write(f"{ev} {ener:.6f} {t:.6f} {pressure:.6f}\n")
+        is_thermo = ev in thermo_steps
+        if is_thermo or ev in snap_set:
+            if is_thermo:
+                e = float(sh.energy)
+                t = float(sh.temperature)
+                if is_brownian:
+                    nprom = max(int(sh.nprom), 1)
+                    ener = e / n
+                    pressure = (float(sh.virial_accum)
+                                / (dim * nprom * volume)
+                                + density * float(ensemble.ktemp))
+                    t = float(ensemble.ktemp)
+                    # Reset accumulators after output
+                    # (/root/reference/src/simulation.jl:266).
+                    sh = sh.replace(
+                        virial_accum=jnp.zeros_like(sh.virial_accum),
+                        nprom=jnp.zeros_like(sh.nprom))
+                else:
+                    ener = (e + e_lrc) / n
+                    pressure = (float(sh.virial) / (dim * volume)
+                                + density * t + p_lrc)
+                with open(thermo_file, "a") as io:
+                    io.write(f"{ev} {ener:.6f} {t:.6f} {pressure:.6f}\n")
+            pos, img, diam = host_rows(sh)
+            cell_np = np.asarray(sh.unitcell)
+            if is_thermo:
+                traj_writer.write_frame(ev, cell_np, pos, img, diam)
+            if ev in snap_set:
+                write_lammps_frame(os.path.join(pathname, f"snapshot.{ev}"),
+                                   ev, cell_np, pos, img, diam, mode="w")
+        if checkpoint_every is not None and ev % checkpoint_every == 0:
+            from mdtpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(unpad_state(sh, engine),
+                            os.path.join(pathname, f"checkpoint.{ev}.npz"))
 
     if current < end_step:
         sh = advance(sh, end_step - current)
-    return sh
+    traj_writer.close()
+
+    final = unpad_state(sh, engine)
+    finalize_simulation(trajectory_file, pathname, end_step, final,
+                        compress=False)
+    return final
 
 
 def valid_rows(state: SimulationState, engine: HaloCellGridEngine):

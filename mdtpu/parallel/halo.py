@@ -75,7 +75,10 @@ class HaloCellGridEngine:
 
     @classmethod
     def create(cls, potential, cutoff, skin, unitcell, n_particles, n_shards,
-               cell_capacity=None, axis_name=SHARD_AXIS):
+               cell_capacity=None, axis_name=SHARD_AXIS, max_sigma=1.0):
+        from mdtpu.potentials.base import check_engine_cutoff
+
+        check_engine_cutoff(potential, cutoff, max_sigma)
         grid = _grid_for_box(unitcell, cutoff, skin)
         if grid is None or len(grid) != 3:
             raise ValueError("halo engine needs a 3D box large enough for a "
@@ -87,7 +90,6 @@ class HaloCellGridEngine:
                 f"{n_shards} devices")
         grid = (nx, grid[1], grid[2])
         if cell_capacity is None:
-            volume = abs(float(np.linalg.det(np.asarray(unitcell, np.float64))))
             mean_occ = n_particles / int(np.prod(grid))
             cell_capacity = int(math.ceil(mean_occ + 3.5 * math.sqrt(mean_occ)
                                           + 2))
@@ -95,6 +97,50 @@ class HaloCellGridEngine:
                    skin=float(skin), grid=grid,
                    cell_capacity=int(cell_capacity), n_shards=int(n_shards),
                    axis_name=axis_name)
+
+    @classmethod
+    def create_tuned(cls, potential, cutoff, unitcell, n_particles, n_shards,
+                     min_skin=0.3, occ_sigma=2.5, axis_name=SHARD_AXIS,
+                     max_sigma=1.0):
+        """Padded-lane-optimal geometry for the sharded sweep — the same
+        cost model as ``CellGridEngine.create_tuned`` (pair blocks are
+        (C, 3C) tiles padded to (ceil8(C), ceil128(3C)) vregs; fat cells
+        with C ~ 36-40 measured 1.8-2.5x faster than cutoff-sized cells,
+        BENCH_NOTES), with nx constrained to a multiple of ``n_shards`` so
+        every device owns an equal x-plane slab."""
+        from mdtpu.potentials.base import check_engine_cutoff
+
+        check_engine_cutoff(potential, cutoff, max_sigma)
+        u = np.asarray(unitcell, np.float64)
+        dim = u.shape[0]
+        if dim != 3:
+            raise ValueError("halo engine is 3D-only")
+        lengths = [float(np.linalg.norm(u[:, k])) for k in range(dim)]
+        g_max = [int(lengths[k] / (cutoff + min_skin)) for k in range(dim)]
+        if g_max[0] < n_shards or min(g_max[1:]) < 3:
+            raise ValueError(
+                f"box too small to shard {g_max[0]} feasible x-planes over "
+                f"{n_shards} devices at this cutoff")
+        cands = []
+        for gx in range(n_shards, g_max[0] + 1, n_shards):
+            # Near-cubic cells: match the other axes to the x cell size.
+            cx = lengths[0] / gx
+            grids = (gx,) + tuple(
+                min(g_max[k], max(3, int(round(lengths[k] / cx))))
+                for k in range(1, dim))
+            n_cells = int(np.prod(grids))
+            mean = n_particles / n_cells
+            cap = int(math.ceil(mean + occ_sigma * math.sqrt(mean) + 2))
+            subl = -(-cap // 8) * 8
+            lanes = -(-(3 * cap) // 128) * 128
+            cands.append((n_cells * subl * lanes, grids, cap))
+        best_cost = min(c[0] for c in cands)
+        _, grids, cap = min((c for c in cands if c[0] <= 1.05 * best_cost),
+                            key=lambda c: c[1][0])
+        skin = min(lengths[k] / grids[k] for k in range(dim)) - cutoff
+        return cls(potential=potential, cutoff=float(cutoff),
+                   skin=float(skin), grid=grids, cell_capacity=cap,
+                   n_shards=int(n_shards), axis_name=axis_name)
 
     def with_grown_capacity(self):
         return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
@@ -193,7 +239,6 @@ class HaloCellGridEngine:
         pad = n_cells_loc * cap + 1
         axis = self.axis_name
         p = jax.lax.axis_index(axis)
-        lengths = [cell[k, k] for k in range(dim)]
 
         # --- refresh local slot grids over the far-pad base (ref + MIC) ----
         # The far base is offset per device (non-overlapping ranges): a ghost
@@ -363,7 +408,13 @@ def pad_state(state: SimulationState, engine: HaloCellGridEngine,
     """Append far-pad rows so each device slab has fixed capacity. The padded
     rows carry far coordinates, zero velocities/forces and unit diameters;
     ``state.nf`` already encodes the true particle count, so all physics
-    (temperature, thermostat, outputs) is unchanged."""
+    (temperature, thermostat, outputs) is unchanged.
+
+    An ``ids`` row (original particle index; -1 on pad rows) is attached and
+    carried through every :func:`reshard` — particle identity survives
+    migration across slabs, so trajectory rows, snapshots and checkpoints
+    come back in original particle order exactly like the single-device
+    driver's outputs."""
     n = state.positions.shape[0]
     n_pad = pad_count(n, engine, margin)
     extra = n_pad - n
@@ -382,6 +433,9 @@ def pad_state(state: SimulationState, engine: HaloCellGridEngine,
         shape = (extra,) + a.shape[1:]
         return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=0)
 
+    ids = state.ids
+    if ids is None:
+        ids = jnp.arange(n, dtype=jnp.int32)
     return state.replace(
         positions=jnp.concatenate([state.positions, pad_pos], axis=0),
         velocities=pad_rows(state.velocities, 0),
@@ -390,6 +444,34 @@ def pad_state(state: SimulationState, engine: HaloCellGridEngine,
         diameters=pad_rows(state.diameters, 1),
         pos_comp=pad_rows(state.pos_comp, 0),
         vel_comp=pad_rows(state.vel_comp, 0),
+        ids=pad_rows(ids, -1),
+        nbrs=None,
+    )
+
+
+def unpad_state(state: SimulationState,
+                engine: HaloCellGridEngine) -> SimulationState:
+    """Restore a padded, sharded state to an ordinary (N, d) particle-order
+    state, rows sorted back to ORIGINAL particle order via ``state.ids``
+    (host-side; the sharded analog of slot_step.unslotify_state). Used at
+    driver checkpoint boundaries and for the returned final state."""
+    trash = engine.mx * engine.grid[1] * engine.grid[2] * engine.cell_capacity
+    valid = np.asarray(state.nbrs.addr) < trash
+    ids = np.asarray(state.ids)[valid]
+    order = np.argsort(ids)
+
+    def take(a):
+        return jnp.asarray(np.asarray(a)[valid][order])
+
+    return state.replace(
+        positions=take(state.positions),
+        velocities=take(state.velocities),
+        forces=take(state.forces),
+        images=take(state.images),
+        diameters=take(state.diameters),
+        pos_comp=take(state.pos_comp),
+        vel_comp=take(state.vel_comp),
+        ids=None,
         nbrs=None,
     )
 
@@ -463,5 +545,6 @@ def reshard(state: SimulationState, engine: HaloCellGridEngine):
         diameters=permute(state.diameters, 1),
         pos_comp=permute(state.pos_comp, 0),
         vel_comp=permute(state.vel_comp, 0),
+        ids=permute(state.ids, -1),
         nbrs=None,
     ), overflow

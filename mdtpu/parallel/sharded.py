@@ -35,7 +35,7 @@ from mdtpu.parallel.mesh import SHARD_AXIS, particle_sharding, replicated
 
 _PARTICLE_FIELDS = (
     "positions", "velocities", "forces", "images", "diameters",
-    "pos_comp", "vel_comp",
+    "pos_comp", "vel_comp", "ids",
 )
 
 

@@ -209,10 +209,27 @@ def test_halo_reshard_roundtrip(mesh):
         assert ((ix // mx) == p).all()
 
 
+def _read_lammps_frames(path):
+    """Parse a LAMMPS dump file into a list of (step, atoms-array) with the
+    atom rows sorted by id column."""
+    frames = []
+    blocks = open(path).read().split("ITEM: TIMESTEP\n")[1:]
+    for b in blocks:
+        lines = b.splitlines()
+        step = int(lines[0])
+        i = next(k for k, l in enumerate(lines) if l.startswith("ITEM: ATOMS"))
+        rows = np.asarray([[float(x) for x in l.split()]
+                           for l in lines[i + 1:] if l.strip()])
+        frames.append((step, rows[np.argsort(rows[:, 0])]))
+    return frames
+
+
 def test_run_simulation_sharded(mesh, tmp_path):
-    """End-to-end sharded driver: thermo output, periodic reshard, physics
-    matching the single-device driver's thermo rows."""
-    from mdtpu.parallel.driver import run_simulation_sharded, valid_rows
+    """End-to-end sharded driver vs the single-device driver: thermo rows,
+    ids-ordered LAMMPS trajectory frames, final.xyz and the returned
+    particle-order state must all match (output parity, the contract of
+    /root/reference/src/simulation.jl:118-171)."""
+    from mdtpu.parallel.driver import run_simulation_sharded
     from mdtpu.parallel.halo import HaloCellGridEngine
     from mdtpu.sim.driver import run_simulation
     from mdtpu.ops.cell_grid import CellGridEngine
@@ -225,8 +242,9 @@ def test_run_simulation_sharded(mesh, tmp_path):
     cell_np = np.asarray(state.unitcell)
 
     ref_eng = CellGridEngine.create(pot, 1.5, 0.3, cell_np, n)
-    run_simulation(state, params, NVE(), total_steps=30, frequency=10,
-                   pathname=str(tmp_path / "ref"), engine=ref_eng)
+    ref_final = run_simulation(state, params, NVE(), total_steps=30,
+                               frequency=10, pathname=str(tmp_path / "ref"),
+                               engine=ref_eng)
 
     halo = HaloCellGridEngine.create(pot, 1.5, 0.3, cell_np, n, n_shards=8)
     final = run_simulation_sharded(
@@ -242,5 +260,139 @@ def test_run_simulation_sharded(mesh, tmp_path):
         assert fa[0] == fb[0]
         np.testing.assert_allclose(fa[1:], fb[1:], rtol=2e-5, atol=2e-5)
 
-    mask = valid_rows(final, halo)
-    assert mask.sum() == n
+    # Trajectory frames: same steps, same per-particle rows (original
+    # particle order survives migration via the carried ids).
+    ref_frames = _read_lammps_frames(tmp_path / "ref" / "trajectory.xyz")
+    sh_frames = _read_lammps_frames(tmp_path / "sh" / "trajectory.xyz")
+    assert [s for s, _ in sh_frames] == [s for s, _ in ref_frames] == [0, 10, 20]
+    for (_, a), (_, b) in zip(sh_frames, ref_frames):
+        np.testing.assert_array_equal(a[:, 0], b[:, 0])  # ids
+        np.testing.assert_allclose(a[:, 1:], b[:, 1:], rtol=1e-5, atol=1e-5)
+
+    # Returned state: particle order, same contract as run_simulation.
+    assert final.positions.shape == (n, 3) and final.ids is None
+    np.testing.assert_allclose(np.asarray(final.positions),
+                               np.asarray(ref_final.positions),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(final.velocities),
+                               np.asarray(ref_final.velocities),
+                               rtol=1e-7, atol=1e-8)
+    import os
+
+    assert os.path.isfile(tmp_path / "sh" / "final.xyz")
+
+
+def test_run_simulation_sharded_checkpoint_resume(mesh, tmp_path):
+    """Mid-run checkpoints from the sharded driver are particle-order full
+    states; resuming one through the sharded driver continues the NVE
+    physics consistently (energy conserved across the splice)."""
+    from mdtpu.io.checkpoint import load_checkpoint
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.parallel.halo import HaloCellGridEngine
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    halo = HaloCellGridEngine.create(pot, 1.5, 0.3,
+                                     np.asarray(state.unitcell), n,
+                                     n_shards=8)
+    p = str(tmp_path / "run")
+    out = run_simulation_sharded(state, params, NVE(), 40, 20, p, mesh=mesh,
+                                 engine=halo, checkpoint_every=20)
+    import os
+
+    ck = os.path.join(p, "checkpoint.20.npz")
+    assert os.path.isfile(ck)
+    restored = load_checkpoint(ck, state)
+    assert int(restored.step) == 21
+    assert restored.positions.shape == (n, 3)
+    cont = run_simulation_sharded(restored, params, NVE(), 19, 19,
+                                  str(tmp_path / "cont"), mesh=mesh,
+                                  engine=halo)
+    assert int(cont.step) == 40
+    e0 = float(out.energy) + 0.5 * float(jnp.sum(out.velocities ** 2))
+    e1 = float(cont.energy) + 0.5 * float(jnp.sum(cont.velocities ** 2))
+    assert abs(e1 - e0) / abs(e0) < 1e-6
+
+
+def test_run_simulation_sharded_nvt_and_brownian_through_halo(mesh, tmp_path):
+    """NVT (psum'd Bussi kinetic across slabs) and Brownian through the
+    HALO engine end-to-end — previously only NVE was covered (the sharded
+    NVT test used the all-pairs engine)."""
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.parallel.halo import HaloCellGridEngine
+    from mdtpu.sim.driver import run_simulation
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    cell_np = np.asarray(state.unitcell)
+    halo = HaloCellGridEngine.create(pot, 1.5, 0.3, cell_np, n, n_shards=8)
+    ref_eng = CellGridEngine.create(pot, 1.5, 0.3, cell_np, n)
+
+    # NVT: same physics as the single-device driver (replicated key -> same
+    # Bussi noise; kinetic reduction via psum) to reduction tolerance.
+    run_simulation(state, params, NVT(0.75, 0.2), 30, 10,
+                   str(tmp_path / "nvt_ref"), engine=ref_eng)
+    run_simulation_sharded(state, params, NVT(0.75, 0.2), 30, 10,
+                           str(tmp_path / "nvt_sh"), mesh=mesh, engine=halo,
+                           reshard_every=10)
+    ref = np.loadtxt(tmp_path / "nvt_ref" / "thermo.txt")
+    sh = np.loadtxt(tmp_path / "nvt_sh" / "thermo.txt")
+    np.testing.assert_allclose(sh, ref, rtol=2e-5, atol=2e-5)
+
+    # Brownian: noise is drawn per shard slab (different realization from
+    # single-device), so assert the driver contract: T == ktemp rows,
+    # finite thermo, all particles present, small displacements.
+    bp = str(tmp_path / "brownian")
+    params_b = Parameters(density=rho, n_particles=n, dt=1e-5, potential=pot)
+    outb = run_simulation_sharded(state, params_b, Brownian(1.0), 30, 10, bp,
+                                  mesh=mesh, engine=halo, reshard_every=10)
+    rows = np.loadtxt(bp + "/thermo.txt")
+    assert np.isfinite(rows).all()
+    np.testing.assert_allclose(rows[:, 2], 1.0)
+    assert outb.positions.shape == (n, 3)
+    d = np.abs(np.asarray(outb.positions) - np.asarray(state.positions))
+    L = float(state.unitcell[0, 0])
+    d = np.minimum(d, L - d)
+    assert float(d.max()) < 0.5
+
+
+def test_sharded_migration_and_emergency_reshard(mesh, tmp_path):
+    """Run long enough (with an aimed fast particle) that rows drift past
+    skin/2 and cross slab boundaries between reshards: the staleness flag
+    must trigger the emergency reshard (warning), migration must preserve
+    all N particles, and the run must stay finite."""
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.parallel.halo import HaloCellGridEngine
+
+    n, rho = 900, 0.3
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    halo = HaloCellGridEngine.create(pot, 1.5, 0.3,
+                                     np.asarray(state.unitcell), n,
+                                     n_shards=8)
+    # Aim particle 0 along +x fast enough to cross a slab boundary and blow
+    # through skin/2 (= 0.15) within a few steps of a segment.
+    v = np.array(state.velocities)
+    v[0] = [0.15 / (3 * 0.002), 0.0, 0.0]  # skin/2 in 3 steps
+    state = state.replace(velocities=jnp.asarray(v))
+
+    with pytest.warns(UserWarning, match="emergency reshard"):
+        out = run_simulation_sharded(
+            state, params, NVE(), 60, 20, str(tmp_path / "run"), mesh=mesh,
+            engine=halo, reshard_every=60)
+    assert out.positions.shape == (n, 3)
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert np.isfinite(np.asarray(out.velocities)).all()
+    # The fast particle actually crossed slabs: it moved several cells in x.
+    dx = float(np.abs(np.asarray(out.images)[0, 0] * state.unitcell[0, 0]
+                      + out.positions[0, 0] - state.positions[0, 0]))
+    assert dx > float(state.unitcell[0, 0]) / 8
