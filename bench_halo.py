@@ -1,0 +1,179 @@
+"""Halo-engine per-chip efficiency on the real TPU (1-device mesh).
+
+Multi-chip hardware is unavailable (one v5e via the axon tunnel), but the
+halo engine's PER-CHIP cost is measurable on a 1-device mesh: the ppermute
+ring degenerates to a self-copy, so the measured step time is the sharded
+sweep + refresh/gather machinery without any ICI time — exactly the
+per-chip efficiency number that multiplies out to multi-chip throughput.
+
+Compares, at the headline config (N=65,536 LJ, rho=0.8, rc=2.5, NVT, f32):
+  * halo engine, cutoff-sized cells (round-2 geometry, HaloCellGridEngine.create)
+  * halo engine, tuned fat-cell geometry  (create_tuned, round 3)
+  * particle-order single-device CellGridEngine (same step structure)
+  * slot-space single-device fast path    (the production number)
+
+Prints one JSON line with steps/sec for each.
+"""
+
+import json
+import time
+
+import jax
+
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+
+def _system(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
+    from mdtpu.core.types import Parameters
+    from mdtpu.potentials.lennard_jones import LennardJones
+    from mdtpu.sim.initialization import (
+        build_state_from_arrays, initialize_velocities, lattice_positions)
+
+    d = 3
+    L = (n / rho) ** (1.0 / d)
+    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
+    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
+                            key=jax.random.PRNGKey(0))
+    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
+                                    jax.random.PRNGKey(1), dtype=dtype,
+                                    cutoff=2.5)
+    state = state.replace(velocities=initialize_velocities(
+        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    pot = LennardJones(r_cut=2.5)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    return state, params, pot
+
+
+def _time_advance(advance, state, warm=100, steps=300):
+    state = advance(state, warm)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state = advance(state, steps)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(state.temperature))
+    return steps / dt
+
+
+def bench_halo(engine_kind="tuned"):
+    from mdtpu.core.types import NVT
+    from mdtpu.parallel.halo import (HaloCellGridEngine, allocate_sharded,
+                                     pad_state, reshard)
+    from mdtpu.parallel.mesh import make_mesh
+    from mdtpu.parallel.sharded import make_shard_map_step, shard_state
+
+    state, params, pot = _system()
+    n = state.n_particles
+    cell_np = np.asarray(state.unitcell)
+    if engine_kind == "tuned":
+        eng = HaloCellGridEngine.create_tuned(pot, 2.5, cell_np, n,
+                                              n_shards=1)
+    else:
+        eng = HaloCellGridEngine.create(pot, 2.5, 0.3, cell_np, n,
+                                        n_shards=1)
+    mesh = make_mesh(1)
+    padded, ovf = reshard(pad_state(state, eng, margin=0.1), eng)
+    assert not bool(ovf)
+    sh = allocate_sharded(shard_state(padded, mesh), eng, mesh)
+    step = make_shard_map_step(params, NVT(1.0, 0.4), eng, mesh,
+                               state_cutoff=2.5)
+
+    @jax.jit
+    def advance(s, k):
+        return jax.lax.fori_loop(0, k, lambda i, x: step(x), s)
+
+    rate = _time_advance(advance, sh)
+    return rate, eng.grid, eng.cell_capacity
+
+
+def bench_halo_slot():
+    """The slot-layout sharded engine (mdtpu.parallel.halo_slot): per-chip
+    cost should sit within ~15% of the single-chip slot loop — the ppermute
+    self-copy plus the unconditional per-rebin migration exchange are the
+    only extras."""
+    from mdtpu.core.types import NVT
+    from mdtpu.parallel.halo_slot import (HaloSlotEngine,
+                                          build_sharded_slot_state,
+                                          make_sharded_slot_advance)
+    from mdtpu.parallel.mesh import make_mesh
+
+    state, params, pot = _system()
+    eng = HaloSlotEngine.create_tuned(pot, 2.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=1)
+    mesh = make_mesh(1)
+    sh = build_sharded_slot_state(state, eng, mesh)
+    advance = make_sharded_slot_advance(params, NVT(1.0, 0.4), eng, mesh, sh)
+    rate = _time_advance(advance, sh)
+    return rate, eng.grid, eng.cell_capacity
+
+
+def bench_particle_order():
+    from mdtpu.core.types import NVT
+    from mdtpu.integrate.step import engine_forces, make_step
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    state, params, pot = _system()
+    eng = CellGridEngine.create_tuned(pot, 2.5, np.asarray(state.unitcell),
+                                      state.n_particles)
+    e, w, f, nbrs = engine_forces(eng, state.positions, state.diameters,
+                                  state.unitcell, state.unitcell_inv, None)
+    state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+    step = make_step(params, NVT(1.0, 0.4), eng)
+
+    @jax.jit
+    def advance(s, k):
+        return jax.lax.fori_loop(0, k, lambda i, x: step(x), s)
+
+    return _time_advance(advance, state)
+
+
+def bench_slot():
+    from mdtpu.core.types import NVT
+    from mdtpu.integrate.slot_step import (make_slot_advance, slot_forces,
+                                           slotify)
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    state, params, pot = _system()
+    eng = CellGridEngine.create(pot, 2.5, 0.6, np.asarray(state.unitcell),
+                                state.n_particles, cell_capacity=36)
+    state = slot_forces(slotify(state, eng), eng)
+    advance = jax.jit(make_slot_advance(params, NVT(1.0, 0.4), eng))
+    return _time_advance(advance, state)
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--slot-only" in sys.argv:
+        hs, grid_hs, cap_hs = bench_halo_slot()
+        slot = bench_slot()
+        print(json.dumps({
+            "metric": "halo-SLOT engine per-chip steps/s, 1-device mesh, "
+                      "N=65536 LJ NVT f32",
+            "halo_slot": round(hs, 1),
+            "halo_slot_geometry": [list(grid_hs), cap_hs],
+            "slot_fast_path": round(slot, 1),
+            "halo_slot_vs_slot_overhead_pct": round((slot / hs - 1) * 100, 1),
+        }))
+        sys.exit(0)
+    halo_old, grid_old, cap_old = bench_halo("cutoff")
+    halo_tuned, grid_tuned, cap_tuned = bench_halo("tuned")
+    hs, grid_hs, cap_hs = bench_halo_slot()
+    particle = bench_particle_order()
+    slot = bench_slot()
+    print(json.dumps({
+        "metric": "halo-engine per-chip steps/s, 1-device mesh, N=65536 LJ NVT f32",
+        "halo_cutoff_cells": round(halo_old, 1),
+        "halo_cutoff_geometry": [list(grid_old), cap_old],
+        "halo_tuned": round(halo_tuned, 1),
+        "halo_tuned_geometry": [list(grid_tuned), cap_tuned],
+        "halo_slot": round(hs, 1),
+        "halo_slot_geometry": [list(grid_hs), cap_hs],
+        "particle_order_cellgrid": round(particle, 1),
+        "slot_fast_path": round(slot, 1),
+        "halo_slot_vs_slot_overhead_pct": round((slot / hs - 1) * 100, 1),
+    }))

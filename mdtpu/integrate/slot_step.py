@@ -212,31 +212,16 @@ def unslotify_state(state: SimulationState) -> SimulationState:
     )
 
 
-def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
-    """Re-sort all slot arrays by current cells (the rebuild).
-
-    Fixed shapes: one (n_slots,) argsort + ONE packed (R, n_slots) scatter
-    moving every state row at once. TPU scatters serialize over indices but
-    vectorize over the scattered slice: 21 separate row scatters cost ~21 ms
-    at the 65k bench, the packed form 1.35 ms (probe_rebin) — so everything,
-    including the int32 images and the bool occupancy mask, rides the one
-    f32 scatter (image counts and 0/1 flags are exact in f32).
-
-    DEFERRED WRAP happens here too: between rebuilds positions drift
-    unwrapped (saving the per-step fold AND the sweep's per-slot MIC), so
-    the rebuild first folds every occupied position into the box through
-    the compensated (Kahan) add and accumulates the crossing counts into
-    ``images`` — exactly what the per-step wrap used to do, amortized over
-    the rebuild interval."""
+def fold_wrap(state: SimulationState):
+    """Deferred-wrap fold: bring every occupied position into the box
+    through the compensated (Kahan) add, accumulate crossing counts into
+    ``images``, and return the in-box fractional components (the rebin's
+    binning input). Between rebuilds positions drift unwrapped (saving the
+    per-step fold AND the sweep's per-slot MIC); this applies the
+    accumulated fold exactly once."""
     from mdtpu.utils.math import kahan_add
 
     dim = state.positions.shape[0]
-    cap = engine.cell_capacity
-    n_cells = int(np.prod(engine.grid))
-    n_slots = n_cells * cap
-    grid = jnp.asarray(engine.grid, jnp.int32)
-    dtype = state.positions.dtype
-
     occ = state.nbrs.occupied
     frac = _frac_components(state.positions, state.unitcell_inv)
     n_cross = [jnp.where(occ, jnp.floor(f), jnp.zeros_like(f)) for f in frac]
@@ -248,30 +233,16 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     state = state.replace(positions=positions, pos_comp=pos_comp,
                           images=images)
     frac = [f - n for f, n in zip(frac, n_cross)]  # fractional, in [0, 1)
-    coords = [jnp.clip((f * grid[k]).astype(jnp.int32), 0, grid[k] - 1)
-              for k, f in enumerate(frac)]
-    strides = np.concatenate(
-        [np.cumprod(np.asarray(engine.grid)[::-1])[-2::-1], [1]]
-    ).astype(np.int32)
-    cid = sum(coords[k] * int(strides[k]) for k in range(dim))
-    cid = jnp.where(occ, cid, n_cells)
+    return state, frac
 
-    # One sort carrying the identity payload gives sorted keys AND the
-    # permutation; within-cell ranks come from a cummax scan over the
-    # first-occurrence positions — no counts scatter-add, no starts gather,
-    # no inverse-permutation scatter (each was ~1 ms at the 65k bench).
-    iota = jnp.arange(n_slots, dtype=jnp.int32)
-    cid_sorted, order = jax.lax.sort((cid, iota), num_keys=1)
-    first = jnp.concatenate([
-        jnp.ones((1,), bool), cid_sorted[1:] != cid_sorted[:-1]])
-    starts_per_elem = jax.lax.cummax(jnp.where(first, iota, 0), axis=0)
-    rank = iota - starts_per_elem
-    real = cid_sorted < n_cells
-    overflow = jnp.any(real & (rank >= cap))
-    addr_sorted = jnp.where(real & (rank < cap), cid_sorted * cap + rank,
-                            n_slots)
 
-    rows = jnp.concatenate([
+def pack_state_rows(state: SimulationState):
+    """All per-slot state rows stacked into one (R, n_slots) array (the
+    packed-rebin payload; also the migration-buffer row format — keep the
+    two in sync via this single packer)."""
+    dtype = state.positions.dtype
+    occ = state.nbrs.occupied
+    return jnp.concatenate([
         state.positions,                       # dim rows, far-pad fill
         state.velocities,                      # dim rows, 0
         state.forces,                          # dim
@@ -282,28 +253,21 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
         occ.astype(dtype)[None],               # 1, fill 0
     ] + ([state.ids.astype(dtype)[None]]       # 1, fill -1 (ids < 2^24)
          if state.ids is not None else []))
-    far = _far_row(n_slots, dtype)
-    base = jnp.concatenate([
-        jnp.broadcast_to(far[None], (dim, n_slots + 1)),
-        jnp.zeros((5 * dim, n_slots + 1), dtype),
-        jnp.ones((1, n_slots + 1), dtype),
-        jnp.zeros((1, n_slots + 1), dtype),
-    ] + ([jnp.full((1, n_slots + 1), -1, dtype)]
-         if state.ids is not None else []))
-    rows_sorted = jnp.take(rows, order, axis=1)    # packed gather
-    packed = base.at[:, addr_sorted].set(rows_sorted)[:, :-1]  # packed scatter
 
-    positions = packed[0:dim]
+
+def unpack_state_rows(state: SimulationState, packed, occupied=None):
+    """Inverse of :func:`pack_state_rows` (``packed`` already resorted)."""
+    dim = state.positions.shape[0]
     diameters = packed[6 * dim]
-    occupied = packed[6 * dim + 1] != 0
+    if occupied is None:
+        occupied = packed[6 * dim + 1] != 0
     nbrs = state.nbrs.replace(
         occupied=occupied,
         sorted_diam=diameters,
-        ref_positions=positions,
-        overflow=state.nbrs.overflow | overflow,
+        ref_positions=packed[0:dim],
     )
     return state.replace(
-        positions=positions,
+        positions=packed[0:dim],
         velocities=packed[dim:2 * dim],
         forces=packed[2 * dim:3 * dim],
         pos_comp=packed[3 * dim:4 * dim],
@@ -314,6 +278,90 @@ def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
              if state.ids is not None else None),
         nbrs=nbrs,
     )
+
+
+def packed_resort(state: SimulationState, cid, n_cells: int, cap: int,
+                  far_offset=None, extra_rows=None, extra_cid=None):
+    """Re-sort all slot arrays by target cell id (the rebuild core).
+
+    Fixed shapes: one (n_slots,) argsort + ONE packed (R, n_slots) scatter
+    moving every state row at once. TPU scatters serialize over indices but
+    vectorize over the scattered slice: 21 separate row scatters cost ~21 ms
+    at the 65k bench, the packed form 1.35 ms (probe_rebin) — so everything,
+    including the int32 images and the bool occupancy mask, rides the one
+    f32 scatter (image counts and 0/1 flags are exact in f32).
+
+    ``cid``: per-row target cell (= ``n_cells`` for vacant/trash rows).
+    ``far_offset``: added to the vacant-slot far-pad ramp — sharded callers
+    pass a per-device offset so no two devices' vacant slots coincide
+    (coinciding vacants in a ghost exchange would make an r2 = 0 pair).
+    ``extra_rows``/``extra_cid``: additional pre-packed rows (the sharded
+    migration buffers received from neighbor shards) resorted along with
+    the local rows into the same slot space.
+    Returns ``(state', overflow)`` with overflow = any row dropped past
+    cell capacity."""
+    dim = state.positions.shape[0]
+    n_slots = n_cells * cap
+    dtype = state.positions.dtype
+
+    rows = pack_state_rows(state)
+    if extra_rows is not None:
+        rows = jnp.concatenate([rows, extra_rows.astype(dtype)], axis=1)
+        cid = jnp.concatenate([cid, extra_cid])
+    m = rows.shape[1]
+
+    # One sort carrying the identity payload gives sorted keys AND the
+    # permutation; within-cell ranks come from a cummax scan over the
+    # first-occurrence positions — no counts scatter-add, no starts gather,
+    # no inverse-permutation scatter (each was ~1 ms at the 65k bench).
+    iota = jnp.arange(m, dtype=jnp.int32)
+    cid_sorted, order = jax.lax.sort((cid, iota), num_keys=1)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool), cid_sorted[1:] != cid_sorted[:-1]])
+    starts_per_elem = jax.lax.cummax(jnp.where(first, iota, 0), axis=0)
+    rank = iota - starts_per_elem
+    real = cid_sorted < n_cells
+    overflow = jnp.any(real & (rank >= cap))
+    addr_sorted = jnp.where(real & (rank < cap), cid_sorted * cap + rank,
+                            n_slots)
+
+    far = _far_row(n_slots, dtype)
+    if far_offset is not None:
+        far = far + far_offset
+    base = jnp.concatenate([
+        jnp.broadcast_to(far[None], (dim, n_slots + 1)),
+        jnp.zeros((5 * dim, n_slots + 1), dtype),
+        jnp.ones((1, n_slots + 1), dtype),
+        jnp.zeros((1, n_slots + 1), dtype),
+    ] + ([jnp.full((1, n_slots + 1), -1, dtype)]
+         if state.ids is not None else []))
+    rows_sorted = jnp.take(rows, order, axis=1)    # packed gather
+    packed = base.at[:, addr_sorted].set(rows_sorted)[:, :-1]  # packed scatter
+
+    return unpack_state_rows(state, packed), overflow
+
+
+def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
+    """Re-sort all slot arrays by current cells (the rebuild): deferred-wrap
+    fold + cell binning + :func:`packed_resort`."""
+    dim = state.positions.shape[0]
+    cap = engine.cell_capacity
+    n_cells = int(np.prod(engine.grid))
+    grid = jnp.asarray(engine.grid, jnp.int32)
+
+    state, frac = fold_wrap(state)
+    occ = state.nbrs.occupied
+    coords = [jnp.clip((f * grid[k]).astype(jnp.int32), 0, grid[k] - 1)
+              for k, f in enumerate(frac)]
+    strides = np.concatenate(
+        [np.cumprod(np.asarray(engine.grid)[::-1])[-2::-1], [1]]
+    ).astype(np.int32)
+    cid = sum(coords[k] * int(strides[k]) for k in range(dim))
+    cid = jnp.where(occ, cid, n_cells)
+
+    state, overflow = packed_resort(state, cid, n_cells, cap)
+    return state.replace(nbrs=state.nbrs.replace(
+        overflow=state.nbrs.overflow | overflow))
 
 
 def slot_needs_rebin(state: SimulationState, engine: CellGridEngine):
@@ -329,10 +377,27 @@ def slot_needs_rebin(state: SimulationState, engine: CellGridEngine):
     return jnp.any(d2 > half_skin * half_skin)
 
 
+def _engine_rebin(state, engine):
+    """Dispatch the rebuild: engines with their own slot-rebin (the sharded
+    halo-slot engine's local rebin) override the single-device binning."""
+    fn = getattr(engine, "slot_rebin", None)
+    return fn(state) if fn is not None else _rebin(state, engine)
+
+
+def _engine_needs_rebin(state, engine, axis_name=None):
+    local = slot_needs_rebin(state, engine)
+    if axis_name is not None:
+        # Uniform decision across shards: every device must enter the rebin
+        # cond together (the rebin itself is local-only, but the while-loop
+        # trip counts must agree).
+        return jax.lax.psum(local.astype(jnp.int32), axis_name) > 0
+    return local
+
+
 def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
                    compensated: bool = True, force_dtype=None,
                    rebin_check: bool = True, observables: bool = True,
-                   hilo: bool = False):
+                   hilo: bool = False, axis_name: str | None = None):
     """Fused step over a component-major slot-ordered state (see module
     docstring). ``force_dtype``: evaluate the sweep in this dtype (e.g. f64
     for the NVE drift gate — the upcast is exact, see
@@ -342,7 +407,14 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
     TPU v5e at the N=65k bench, that cond costs 1.12 ms/step — as much as the
     entire pair sweep — while the step body itself is 1.15 ms (probe_slot.py
     variants). Callers must then orchestrate rebuilds themselves; use
-    ``make_slot_advance`` which hoists the check into a nested while_loop."""
+    ``make_slot_advance`` which hoists the check into a nested while_loop.
+
+    ``axis_name``: when the step runs inside ``shard_map`` (slot arrays
+    sharded over their slot axis — the halo-slot engine), global reductions
+    (Bussi kinetic, temperature, the rebin decision) become psums over this
+    axis; the engine's ``compute_slots`` is then responsible for its own
+    halo collectives. The SAME choreography serves single-chip and sharded
+    execution — one slot-physics implementation in the codebase."""
     is_nvt = isinstance(ensemble, NVT)
     is_brownian = isinstance(ensemble, Brownian)
     # Brownian accumulates the 10-step-averaged virial in-loop
@@ -371,8 +443,14 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
                                     observables=obs)
 
     def maybe_rebin(state):
-        return jax.lax.cond(slot_needs_rebin(state, engine),
-                            lambda s: _rebin(s, engine), lambda s: s, state)
+        if getattr(engine, "rebin_unconditional", False):
+            # Engines whose rebin contains collectives (the sharded
+            # halo-slot migration ppermutes) must never rebin under a
+            # lax.cond branch — run it unconditionally (exact either way).
+            return _engine_rebin(state, engine)
+        return jax.lax.cond(_engine_needs_rebin(state, engine, axis_name),
+                            lambda s: _engine_rebin(s, engine),
+                            lambda s: s, state)
 
     def step(state: SimulationState) -> SimulationState:
         dtype = state.positions.dtype
@@ -390,6 +468,10 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
                 dtype, xc=state.pos_comp)
             ktemp = jnp.asarray(ensemble.ktemp, dtype)
             key_step = jax.random.fold_in(state.key, state.step)
+            if axis_name is not None:
+                # Each shard draws its own noise block (key is replicated).
+                key_step = jax.random.fold_in(
+                    key_step, jax.lax.axis_index(axis_name))
             u = jax.random.uniform(key_step, state.positions.shape,
                                    dtype=dtype)
             noise = jnp.where(occ[None, :], (2.0 * u - 1.0) * SQRT3, 0.0)
@@ -427,10 +509,10 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
             ktemp_t = ensemble.ktemp(step_1indexed)
             key_step = jax.random.fold_in(state.key, state.step)
             v = bussi_rescale(key_step, v, ktemp_t, state.nf, dt,
-                              ensemble.tau)
+                              ensemble.tau, axis_name=axis_name)
             if compensated:
                 vc = jnp.zeros_like(vc)
-        temperature = compute_temperature(v, state.nf)
+        temperature = compute_temperature(v, state.nf, axis_name=axis_name)
 
         return state.replace(
             positions=x, velocities=v, forces=forces,
@@ -443,7 +525,8 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
 
 def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
                       compensated: bool = True, force_dtype=None,
-                      lean: bool = True, hilo: bool = False):
+                      lean: bool = True, hilo: bool = False,
+                      axis_name: str | None = None):
     """``advance(state, k) -> state`` after k fused slot steps, with the skin
     rebuild hoisted OUT of the per-step path and (``lean=True``) the
     energy/virial accumulation skipped on all but the last step.
@@ -462,14 +545,15 @@ def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
     observable-free steps are this framework's redesign."""
     step = make_slot_step(params, ensemble, engine, compensated=compensated,
                           force_dtype=force_dtype, rebin_check=False,
-                          observables=not lean, hilo=hilo)
+                          observables=not lean, hilo=hilo,
+                          axis_name=axis_name)
     last_step = make_slot_step(params, ensemble, engine,
                                compensated=compensated,
                                force_dtype=force_dtype, rebin_check=True,
-                               hilo=hilo)
+                               hilo=hilo, axis_name=axis_name)
 
     def needs(state):
-        return slot_needs_rebin(state, engine)
+        return _engine_needs_rebin(state, engine, axis_name)
 
     def advance(state: SimulationState, k) -> SimulationState:
         k = jnp.asarray(k, jnp.int32)
@@ -481,8 +565,12 @@ def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
 
         def outer_body(carry):
             s, i = carry
-            s = jax.lax.cond(needs(s), lambda t: _rebin(t, engine),
-                             lambda t: t, s)
+            if getattr(engine, "rebin_unconditional", False):
+                s = _engine_rebin(s, engine)
+            else:
+                s = jax.lax.cond(needs(s),
+                                 lambda t: _engine_rebin(t, engine),
+                                 lambda t: t, s)
 
             # The inner predicate must stay a trivial read of a carried
             # scalar: putting the O(n_slots) drift reduction in the while

@@ -1,0 +1,541 @@
+"""Slot-space sharded halo engine — the multi-chip production hot loop.
+
+Round 2's :class:`~mdtpu.parallel.halo.HaloCellGridEngine` shards the cell
+grid but keeps the STATE in particle rows: every step re-scatters positions
+into the slot grid and gathers forces back — the two irregular memory ops
+the single-chip slot loop was built to eliminate (they cost more than the
+whole pair sweep, see mdtpu/integrate/slot_step.py). This engine closes
+that generation gap: the ENTIRE sharded state lives in component-major,
+cell-sorted slot order, sharded over the slot axis so device p owns exactly
+the slots of its x-plane slab (cell ids are x-major, so the global slot
+range [p*S_loc, (p+1)*S_loc) IS slab p — a plain :func:`slotify` with the
+global grid followed by a device_put produces the sharded layout).
+
+Per step (inside ``shard_map``, driven by the ordinary
+``make_slot_step(axis_name=...)`` — ONE slot choreography in the codebase):
+
+  * the sweep reads the local (mx, ny, nz, C) slot grids directly (no
+    refresh scatter), ``ppermute``s ONE z-windowed boundary plane
+    (ny, nz, 3C) over ICI for the +x half stencil, sends the ghost-plane
+    reaction forces back, and ``psum``s energy/virial — O(surface)
+    communication, same as the row engine;
+  * integration is dense local VPU work (slot layout);
+  * the skin rebuild is a LOCAL packed re-sort per shard
+    (:func:`~mdtpu.integrate.slot_step.packed_resort` with a per-device
+    far-pad offset); particles that drift past their slab boundary are
+    clamped into the edge plane — still EXACT while the excursion is
+    shallower than one cell (the ghost plane covers it) — and flagged for a
+    driver-level reshard once the excursion risks leaving the stencil.
+
+The result is per-chip cost ≈ the single-chip slot loop + one plane
+ppermute: measured on a 1-device mesh on the real TPU (bench_halo.py).
+Role analog: CellListMap's threaded map-reduce scaled across chips
+(/root/reference/src/pairwise.jl:17-23, SURVEY.md 2.14).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mdtpu.core.types import SimulationState
+from mdtpu.ops.cell_grid import (
+    CellGridEngine,
+    ghost_z_window,
+    ghost_z_window_hilo,
+)
+from mdtpu.parallel.mesh import SHARD_AXIS
+
+
+@struct.dataclass
+class HaloSlotEngine:
+    """Slot-layout sharded cell-grid engine (see module docstring).
+
+    ``grid`` is the GLOBAL cell grid, nx a multiple of ``n_shards``. Slot
+    arrays are (d, n_slots_global) sharded over the slot axis; inside
+    shard_map each method sees the local (d, S_loc) block.
+    """
+
+    potential: Any
+    cutoff: float = struct.field(pytree_node=False, default=1.5)
+    skin: float = struct.field(pytree_node=False, default=0.3)
+    grid: Tuple[int, ...] = struct.field(pytree_node=False, default=(8, 3, 3))
+    cell_capacity: int = struct.field(pytree_node=False, default=16)
+    n_shards: int = struct.field(pytree_node=False, default=8)
+    axis_name: str = struct.field(pytree_node=False, default=SHARD_AXIS)
+    # Max rows migrated per direction per rebin (fixed-shape ppermute
+    # buffers). Overflowing rows are clamped into the edge plane and the
+    # per-shard flag raised (driver recovers by restore+grow, like cell
+    # capacity).
+    migration_capacity: int = struct.field(pytree_node=False, default=512)
+    # The rebin contains ppermutes, so it must NEVER run under lax.cond
+    # (collectives inside a cond branch are not SPMD-safe); the slot
+    # choreography runs it unconditionally per outer (rebin) iteration.
+    rebin_unconditional = True
+
+    @classmethod
+    def create_tuned(cls, potential, cutoff, unitcell, n_particles, n_shards,
+                     min_skin=0.3, occ_sigma=2.5, axis_name=SHARD_AXIS,
+                     max_sigma=1.0):
+        """Padded-lane-optimal geometry (same cost model as the single-chip
+        ``CellGridEngine.create_tuned``; nx constrained to a multiple of
+        ``n_shards``) — delegates to the row engine's tuner."""
+        from mdtpu.parallel.halo import HaloCellGridEngine
+
+        row = HaloCellGridEngine.create_tuned(
+            potential, cutoff, unitcell, n_particles, n_shards,
+            min_skin=min_skin, occ_sigma=occ_sigma, axis_name=axis_name,
+            max_sigma=max_sigma)
+        # Migration buffer: boundary-layer population ~ n_loc * skin/slab;
+        # 25% of a slab is a generous fixed bound, lane-aligned.
+        K = max(128, -(-int(n_particles / n_shards * 0.25) // 128) * 128)
+        return cls(potential=potential, cutoff=row.cutoff, skin=row.skin,
+                   grid=row.grid, cell_capacity=row.cell_capacity,
+                   n_shards=n_shards, axis_name=axis_name,
+                   migration_capacity=K)
+
+    def with_grown_capacity(self):
+        return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
+
+    @property
+    def mx(self) -> int:
+        return self.grid[0] // self.n_shards
+
+    @property
+    def local_slots(self) -> int:
+        return self.mx * self.grid[1] * self.grid[2] * self.cell_capacity
+
+    def as_single_chip(self) -> CellGridEngine:
+        """The single-chip engine with the same GLOBAL geometry: used for
+        the initial global slotify (cell ids are x-major, so sharding the
+        resulting slot arrays over the slot axis lands each slab on its
+        device) and for host-side unslotify."""
+        return CellGridEngine(
+            potential=self.potential, cutoff=self.cutoff, skin=self.skin,
+            grid=self.grid, cell_capacity=self.cell_capacity)
+
+    # ------------------------------------------------------------ rebuild
+    def slot_rebin(self, state: SimulationState) -> SimulationState:
+        """Migration + LOCAL packed re-sort of this shard's slot block.
+
+        Runs inside shard_map OUTSIDE any lax.cond (``rebin_unconditional``
+        — it ppermutes migration buffers): rows whose x-plane left the
+        local slab are shipped to the adjacent shard (escapes travel at
+        most skin/2 per rebin interval, so the neighbor is always the
+        destination), received rows are folded and binned locally, and
+        everything re-sorts through ONE packed scatter. Because migration
+        happens at EVERY rebin, no live row is ever more than skin/2
+        outside its shard at sweep time — the sharded dynamics is exact,
+        with zero host involvement (the TPU-native analog of the
+        migrate-at-rebuild policy of classic spatial-decomposition MD).
+
+        Rows beyond the fixed ``migration_capacity`` are clamped into the
+        edge plane and flag the shard (driver recovers like a capacity
+        overflow)."""
+        from mdtpu.integrate.slot_step import (_frac_components,
+                                               pack_state_rows,
+                                               packed_resort)
+        from mdtpu.ops.cell_grid import _FAR_PAD_SPACING
+        from mdtpu.utils.math import kahan_add
+
+        dim = state.positions.shape[0]
+        dtype = state.positions.dtype
+        nx, ny, nz = self.grid
+        mx = self.mx
+        cap = self.cell_capacity
+        n_cells_loc = mx * ny * nz
+        n_slots = self.local_slots
+        n_sh = self.n_shards
+        K = self.migration_capacity
+        axis = self.axis_name
+        p = jax.lax.axis_index(axis)
+        occ = state.nbrs.occupied
+
+        # --- classify rows by current global x-plane (pre-fold) ----------
+        frac = _frac_components(state.positions, state.unitcell_inv)
+        n_cross = [jnp.where(occ, jnp.floor(f), jnp.zeros_like(f))
+                   for f in frac]
+        frac_in = [f - n for f, n in zip(frac, n_cross)]
+        gx = jnp.clip((frac_in[0] * nx).astype(jnp.int32), 0, nx - 1)
+        ix = gx - p * mx
+        if n_sh > 1:
+            # Periodic-minimal slab offset (device 0's slab is adjacent to
+            # the last device's); adj = matching fold correction along
+            # axis 0.
+            above = ix > nx // 2
+            below = ix < -(nx - nx // 2)
+            ix = jnp.where(above, ix - nx, jnp.where(below, ix + nx, ix))
+            adj = jnp.where(above, 1.0, jnp.where(below, -1.0, 0.0)) \
+                .astype(n_cross[0].dtype)
+            esc_right = occ & (ix >= mx)
+            esc_left = occ & (ix < 0)
+        else:
+            # One shard owns the whole box: no escapes, standard fold.
+            adj = jnp.zeros_like(n_cross[0])
+            esc_right = esc_left = jnp.zeros_like(occ)
+
+        # --- migration buffers: RAW (unfolded) rows, fixed (R, K) shape --
+        rows_raw = pack_state_rows(state)
+        occ_row_idx = 6 * dim + 1
+        iota = jnp.arange(n_slots, dtype=jnp.int32)
+
+        def select(mask):
+            vals, idx = jax.lax.top_k(mask.astype(jnp.int32), K)
+            got = vals > 0
+            buf = rows_raw[:, idx]
+            # Unsent columns must read vacant at the receiver.
+            buf = buf.at[occ_row_idx].multiply(got.astype(dtype))
+            lost = jnp.sum(mask) > jnp.asarray(K, jnp.int32)
+            return buf, idx, got, lost
+
+        buf_r, idx_r, got_r, lost_r = select(esc_right)
+        buf_l, idx_l, got_l, lost_l = select(esc_left)
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        recv_l = jax.lax.ppermute(buf_r, axis, fwd)  # from left neighbor
+        recv_r = jax.lax.ppermute(buf_l, axis, bwd)  # from right neighbor
+        extra = jnp.concatenate([recv_l, recv_r], axis=1)
+
+        # Remove sent rows locally.
+        sent = jnp.zeros((n_slots,), bool)
+        sent = sent.at[idx_r].max(got_r).at[idx_l].max(got_l)
+        occ = occ & ~sent
+        state = state.replace(nbrs=state.nbrs.replace(occupied=occ))
+
+        # --- fold local rows (seam-consistent for clamped leftovers) -----
+        n_cross[0] = n_cross[0] + jnp.where(occ, adj, jnp.zeros_like(adj))
+        for k in range(dim):
+            n_cross[k] = jnp.where(occ, n_cross[k],
+                                   jnp.zeros_like(n_cross[k]))
+        delta = jnp.stack([
+            -sum(state.unitcell[k, j] * n_cross[j] for j in range(dim))
+            for k in range(dim)])
+        positions, pos_comp = kahan_add(state.positions, state.pos_comp,
+                                        delta)
+        images = state.images + jnp.stack(n_cross).astype(state.images.dtype)
+        state = state.replace(positions=positions, pos_comp=pos_comp,
+                              images=images)
+
+        cy = jnp.clip((frac_in[1] * ny).astype(jnp.int32), 0, ny - 1)
+        cz = jnp.clip((frac_in[2] * nz).astype(jnp.int32), 0, nz - 1)
+        # Leftover escapes (migration_capacity overflow) clamp to the edge
+        # plane — exact only transiently; the lost flag forces recovery.
+        ix_clamped = jnp.clip(ix, 0, mx - 1)
+        cid = (ix_clamped * ny + cy) * nz + cz
+        cid = jnp.where(occ, cid, n_cells_loc)
+
+        # --- fold + bin the received rows --------------------------------
+        extra_occ = extra[occ_row_idx] != 0
+        e_pos = extra[0:dim]
+        e_comp = extra[3 * dim:4 * dim]
+        e_frac = _frac_components(e_pos, state.unitcell_inv)
+        e_cross = [jnp.where(extra_occ, jnp.floor(f), jnp.zeros_like(f))
+                   for f in e_frac]
+        e_frac_in = [f - n for f, n in zip(e_frac, e_cross)]
+        e_delta = jnp.stack([
+            -sum(state.unitcell[k, j] * e_cross[j] for j in range(dim))
+            for k in range(dim)])
+        e_pos, e_comp = kahan_add(e_pos, e_comp, e_delta)
+        e_img = (extra[5 * dim:6 * dim]
+                 + jnp.stack(e_cross).astype(dtype))
+        extra = jnp.concatenate([
+            e_pos, extra[dim:3 * dim], e_comp, extra[4 * dim:5 * dim],
+            e_img, extra[6 * dim:]], axis=0)
+        e_gx = jnp.clip((e_frac_in[0] * nx).astype(jnp.int32), 0, nx - 1)
+        e_ix = jnp.clip(e_gx - p * mx, 0, mx - 1)
+        e_cy = jnp.clip((e_frac_in[1] * ny).astype(jnp.int32), 0, ny - 1)
+        e_cz = jnp.clip((e_frac_in[2] * nz).astype(jnp.int32), 0, nz - 1)
+        extra_cid = (e_ix * ny + e_cy) * nz + e_cz
+        extra_cid = jnp.where(extra_occ, extra_cid, n_cells_loc)
+
+        # Per-device far-pad offset: vacant slots of different shards must
+        # never coincide (a ghost-exchange r2 = 0 pair would NaN).
+        far_offset = (p.astype(dtype)
+                      * (_FAR_PAD_SPACING * (self.local_slots + 2)))
+        state, cap_overflow = packed_resort(state, cid, n_cells_loc, cap,
+                                            far_offset=far_offset,
+                                            extra_rows=extra,
+                                            extra_cid=extra_cid)
+        return state.replace(nbrs=state.nbrs.replace(
+            overflow=(state.nbrs.overflow | cap_overflow | lost_r
+                      | lost_l)))
+
+    # ------------------------------------------------------------- sweep
+    def compute_slots(self, positions, diameters, cell, cell_inv, nbrs,
+                      observables=True, pos_lo=None):
+        """Halo-exchange z-window sweep over the LOCAL slot block.
+
+        Same structure as the single-chip ``_zwindow_sweep`` (ghosted
+        z-windows, far-pad vacants, diag-bump self exclusion, Newton
+        in-plane half stencil, optional hi/lo precision) with the x axis
+        extended by ONE ppermuted ghost plane; ghost-plane reactions are
+        ppermuted back and energy/virial psum'd."""
+        from mdtpu.utils.math import two_sum
+
+        dim = positions.shape[0]
+        dtype = positions.dtype
+        cap = self.cell_capacity
+        nx, ny, nz = self.grid
+        mx = self.mx
+        n_cells_loc = mx * ny * nz
+        axis = self.axis_name
+        n_sh = self.n_shards
+        p = jax.lax.axis_index(axis)
+        hilo = pos_lo is not None
+
+        shape = (mx, ny, nz, cap)
+        grids = [positions[k].reshape(shape) for k in range(dim)]
+        diam = diameters.reshape(shape)
+
+        if hilo:
+            grids_lo = [pos_lo[k].reshape(shape) for k in range(dim)]
+            pairs = [ghost_z_window_hilo(grids[k], grids_lo[k], cell[k, 2])
+                     for k in range(dim)]
+            win = [q[0] for q in pairs]
+            win_lo = [q[1] for q in pairs]
+            own_lo = [g.reshape(n_cells_loc, cap, 1) for g in grids_lo]
+        else:
+            win = [ghost_z_window(grids[k], cell[k, 2]) for k in range(dim)]
+            win_lo = own_lo = None
+        win_diam = ghost_z_window(diam)
+
+        # --- halo exchange: receive the right neighbor's first plane ------
+        fwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]   # i sends to i-1
+        is_last = p == n_sh - 1
+        ghosts, ghosts_lo = [], []
+        for k in range(dim):
+            g = jax.lax.ppermute(win[k][:1], axis, fwd)  # (1, ny, nz, 3C)
+            if hilo:
+                g_lo = jax.lax.ppermute(win_lo[k][:1], axis, fwd)
+                # Periodic image: the ghost received by the LAST device is
+                # global plane 0 — shift through two_sum, residual to lo.
+                s, r = two_sum(g, cell[k, 0])
+                g = jnp.where(is_last, s, g)
+                g_lo = jnp.where(is_last, g_lo + r, g_lo)
+                ghosts_lo.append(g_lo)
+            else:
+                g = g + jnp.where(is_last, cell[k, 0], jnp.zeros((), dtype))
+            ghosts.append(g)
+        ghost_diam = jax.lax.ppermute(win_diam[:1], axis, fwd)
+        ext = [jnp.concatenate([w, g], axis=0) for w, g in zip(win, ghosts)]
+        ext_diam = jnp.concatenate([win_diam, ghost_diam], axis=0)
+        if hilo:
+            ext_lo = [jnp.concatenate([w, g], axis=0)
+                      for w, g in zip(win_lo, ghosts_lo)]
+
+        own = [g.reshape(n_cells_loc, cap, 1) for g in grids]
+        own_diam3 = diam.reshape(n_cells_loc, cap, 1)
+
+        i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
+        diag_bump = jnp.where(j_ids == i_ids + cap,
+                              jnp.asarray(1e30, dtype),
+                              jnp.zeros((), dtype))[None, :, :]
+
+        def pair_block(wc, wd, exclude_self, wc_lo=None):
+            wc = [w.reshape(n_cells_loc, 1, 3 * cap) for w in wc]
+            wd = wd.reshape(n_cells_loc, 1, 3 * cap)
+            if wc_lo is not None:
+                wc_lo = [w.reshape(n_cells_loc, 1, 3 * cap) for w in wc_lo]
+                d_comps = []
+                for k in range(dim):
+                    s, e = two_sum(own[k], -wc[k])
+                    d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
+            else:
+                d_comps = [own[k] - wc[k] for k in range(dim)]
+            r2 = sum(dk * dk for dk in d_comps)
+            if exclude_self:
+                r2 = r2 + diag_bump
+            if observables:
+                u, f_over_r = self.potential.evaluate_r2(r2, own_diam3, wd)
+            else:
+                u = None
+                f_over_r = self.potential.force_r2(r2, own_diam3, wd)
+            return u, f_over_r, r2, d_comps
+
+        # Self column: every pair appears from both sides.
+        u, f_over_r, r2s, d_comps = pair_block(win, win_diam, True,
+                                               wc_lo=win_lo)
+        if observables:
+            energy = 0.5 * jnp.sum(u)
+            virial = 0.5 * jnp.sum(f_over_r * r2s)
+        else:
+            energy = virial = jnp.zeros((), dtype)
+        f_own = jnp.stack(
+            [jnp.sum(f_over_r * d_comps[k], axis=2) for k in range(dim)])
+
+        def unwindow(reaction):
+            r = reaction.reshape(mx, ny, nz, 3, cap)
+            return (jnp.roll(r[..., 0, :], -1, axis=2) + r[..., 1, :]
+                    + jnp.roll(r[..., 2, :], 1, axis=2))
+
+        def yshift(w, oy, gy):
+            if oy == 1:
+                first = w[:, :1] + gy if gy is not None else w[:, :1]
+                return jnp.concatenate([w[:, 1:], first], axis=1)
+            if oy == -1:
+                last = w[:, -1:] - gy if gy is not None else w[:, -1:]
+                return jnp.concatenate([last, w[:, :-1]], axis=1)
+            return w
+
+        def yshift_hilo(w, w_lo, oy, gy):
+            if oy == 1:
+                first, r = two_sum(w[:, :1], gy)
+                return (jnp.concatenate([w[:, 1:], first], axis=1),
+                        jnp.concatenate([w_lo[:, 1:], w_lo[:, :1] + r],
+                                        axis=1))
+            if oy == -1:
+                last, r = two_sum(w[:, -1:], -gy)
+                return (jnp.concatenate([last, w[:, :-1]], axis=1),
+                        jnp.concatenate([w_lo[:, -1:] + r, w_lo[:, :-1]],
+                                        axis=1))
+            return w, w_lo
+
+        # Reaction accumulator over mx + 1 planes (the +1 receives the
+        # reactions destined for the ghost plane / right neighbor).
+        react_ext = [jnp.zeros((mx + 1, ny, nz, cap), dtype)
+                     for _ in range(dim)]
+
+        for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
+            if hilo:
+                src = [(ext[k][ox:ox + mx], ext_lo[k][ox:ox + mx])
+                       if ox else (win[k], win_lo[k]) for k in range(dim)]
+                shifted = [yshift_hilo(s[0], s[1], oy, cell[k, 1])
+                           for k, s in enumerate(src)]
+                wc = [s[0] for s in shifted]
+                wc_lo = [s[1] for s in shifted]
+            else:
+                wc = [yshift(ext[k][ox:ox + mx] if ox else win[k], oy,
+                             cell[k, 1]) for k in range(dim)]
+                wc_lo = None
+            wd = yshift(ext_diam[ox:ox + mx] if ox else win_diam, oy, None)
+            u, f_over_r, r2s, d_comps = pair_block(wc, wd, False,
+                                                   wc_lo=wc_lo)
+            if observables:
+                energy = energy + jnp.sum(u)
+                virial = virial + jnp.sum(f_over_r * r2s)
+            for k in range(dim):
+                f_own = f_own.at[k].add(
+                    jnp.sum(f_over_r * d_comps[k], axis=2))
+                react = unwindow(-jnp.sum(f_over_r * d_comps[k], axis=1))
+                react = jnp.roll(react, oy, axis=1)
+                react_ext[k] = react_ext[k].at[ox:ox + mx].add(react)
+
+        # Fold local reactions; send the ghost-plane reactions back to the
+        # right neighbor (they own global plane (p+1)*mx).
+        bwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        forces = []
+        for k in range(dim):
+            fk = f_own[k] + react_ext[k][:mx].reshape(n_cells_loc, cap)
+            back = jax.lax.ppermute(react_ext[k][mx:], axis, bwd)
+            fk = fk.reshape(mx, ny, nz, cap).at[:1].add(back)
+            forces.append(fk.reshape(-1))
+        if observables:
+            energy = jax.lax.psum(energy, axis)
+            virial = jax.lax.psum(virial, axis)
+        return energy, virial, jnp.stack(forces), nbrs
+
+
+# ---------------------------------------------------------------------------
+# Sharding glue: specs, state construction, the jitted sharded advance.
+# ---------------------------------------------------------------------------
+
+
+def slot_state_specs(engine: HaloSlotEngine, state: SimulationState,
+                     cutoff: float) -> SimulationState:
+    """PartitionSpec pytree for a slot-layout SimulationState: (d, n_slots)
+    arrays sharded over the slot axis (x-major cell ids make slot blocks =
+    x-plane slabs), scalars replicated, the overflow flag per-shard."""
+    from jax.sharding import PartitionSpec as P
+
+    from mdtpu.ops.cell_grid import CellGridState
+
+    ax = engine.axis_name
+    two, one, rep = P(None, ax), P(ax), P()
+
+    def like(val, spec):
+        return None if val is None else spec
+
+    nbrs = CellGridState(addr=one, occupied=one, sorted_diam=one,
+                         ref_positions=two, overflow=one)
+    return SimulationState(
+        positions=two, velocities=like(state.velocities, two), forces=two,
+        images=two, diameters=one, unitcell=rep, unitcell_inv=rep, key=rep,
+        step=rep, nf=rep, energy=rep, virial=rep, temperature=rep,
+        pos_comp=two, vel_comp=two, nbrs=nbrs,
+        virial_accum=like(state.virial_accum, rep),
+        nprom=like(state.nprom, rep), ids=one, cutoff=cutoff)
+
+
+def build_sharded_slot_state(state: SimulationState, engine: HaloSlotEngine,
+                             mesh) -> SimulationState:
+    """Global slotify (x-major cell ids → slab-contiguous slots) + shard
+    over the mesh + one sharded sweep for the initial forces. The returned
+    state runs under :func:`make_sharded_slot_advance`."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mdtpu.integrate.slot_step import slotify
+
+    st = slotify(state, engine.as_single_chip())
+    if bool(st.nbrs.overflow):
+        raise ValueError("initial slotify overflowed cell capacity — grow "
+                         "the engine capacity")
+    # Per-shard overflow flag: (n_shards,) sharded -> local (1,).
+    st = st.replace(nbrs=st.nbrs.replace(
+        overflow=jnp.zeros((engine.n_shards,), bool)))
+    specs = slot_state_specs(engine, st, float(st.cutoff))
+    st = jax.tree.map(
+        lambda leaf, spec: (None if leaf is None else
+                            jax.device_put(leaf, NamedSharding(mesh, spec))),
+        st, specs,
+        is_leaf=lambda x: x is None)
+
+    ax = engine.axis_name
+    fn = jax.jit(jax.shard_map(
+        lambda pos, d, c, ci, nb: engine.compute_slots(pos, d, c, ci, nb)[:3],
+        mesh=mesh,
+        in_specs=(P(None, ax), P(ax), P(), P(), specs.nbrs),
+        out_specs=(P(), P(), P(None, ax)),
+        check_vma=False,
+    ))
+    e, w, f = fn(st.positions, st.diameters, st.unitcell, st.unitcell_inv,
+                 st.nbrs)
+    return st.replace(forces=f, energy=e, virial=w)
+
+
+def make_sharded_slot_advance(params, ensemble, engine: HaloSlotEngine,
+                              mesh, state: SimulationState,
+                              compensated: bool = True, lean: bool = True,
+                              hilo: bool = False):
+    """``advance(state, k)`` over the mesh: the ordinary
+    ``make_slot_advance`` choreography (nested while, hoisted rebins, lean
+    inner steps) under ONE ``shard_map`` — rebin decisions are psum'd so
+    trip counts stay uniform, rebins are local re-sorts, the sweep
+    ppermutes halo planes, and Bussi/temperature reductions psum."""
+    from jax.sharding import PartitionSpec as P
+
+    from mdtpu.integrate.slot_step import make_slot_advance
+
+    adv = make_slot_advance(params, ensemble, engine,
+                            compensated=compensated, lean=lean, hilo=hilo,
+                            axis_name=engine.axis_name)
+    specs = slot_state_specs(engine, state, float(state.cutoff))
+    fn = jax.shard_map(adv, mesh=mesh, in_specs=(specs, P()),
+                       out_specs=specs, check_vma=False)
+    return jax.jit(fn)
+
+
+def unshard_slot_state(state: SimulationState,
+                       engine: HaloSlotEngine) -> SimulationState:
+    """Host-side: restore a sharded slot state to ordinary (N, d) particle
+    order (ids-sorted) — delegates to the single-chip unslotify."""
+    from mdtpu.integrate.slot_step import unslotify_state
+
+    occ_any = state.nbrs.replace(overflow=jnp.asarray(
+        np.asarray(state.nbrs.overflow).any()))
+    return unslotify_state(state.replace(nbrs=occ_any))

@@ -1,0 +1,159 @@
+"""Slot-space sharded halo engine vs the single-chip slot loop on the
+8-virtual-device CPU mesh: the multi-chip production path must be the SAME
+physics as the single-chip slot fast path (one choreography,
+make_slot_step(axis_name=...))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdtpu.core.types import NVE, NVT, Brownian, Parameters
+from mdtpu.integrate.slot_step import (
+    make_slot_advance,
+    slot_forces,
+    slotify,
+    unslotify_state,
+)
+from mdtpu.parallel.halo_slot import (
+    HaloSlotEngine,
+    build_sharded_slot_state,
+    make_sharded_slot_advance,
+    unshard_slot_state,
+)
+from mdtpu.parallel.mesh import make_mesh
+from mdtpu.potentials.lennard_jones import LennardJones
+from tests.test_dynamics import make_fluid_state
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def _system(n=1200, rho=0.4, temp=0.75):
+    state = make_fluid_state(n=n, rho=rho, temp=temp, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    return state, params, pot
+
+
+def test_halo_slot_geometry_matches_single_chip():
+    state, params, pot = _system()
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    assert eng.grid[0] % 8 == 0
+    single = eng.as_single_chip()
+    assert single.grid == eng.grid
+    assert single.cell_capacity == eng.cell_capacity
+
+
+@pytest.mark.parametrize("ens_name", ["nve", "nvt"])
+def test_halo_slot_advance_matches_single_chip(mesh, ens_name):
+    """Sharded slot advance == single-chip slot advance with the SAME
+    global geometry, through rebins (40 steps at liquid T always rebins),
+    to reduction-order tolerance."""
+    state, params, pot = _system()
+    ens = NVE() if ens_name == "nve" else NVT(0.75, 0.2)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    single = eng.as_single_chip()
+
+    ref = slot_forces(slotify(state, single), single)
+    ref_adv = jax.jit(make_slot_advance(params, ens, single))
+    ref = ref_adv(ref, 40)
+    ref_out = unslotify_state(ref)
+
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, ens, eng, mesh, sh)
+    sh = adv(sh, 40)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    out = unshard_slot_state(sh, eng)
+
+    assert int(sh.step) == 40
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.velocities),
+                               np.asarray(ref_out.velocities),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(sh.virial), float(ref.virial),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(sh.temperature),
+                               float(ref.temperature), rtol=1e-10)
+
+
+def test_halo_slot_brownian_runs(mesh):
+    state, params, pot = _system()
+    params = Parameters(density=0.4, n_particles=state.n_particles, dt=1e-5,
+                        potential=params.potential)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, Brownian(1.0), eng, mesh, sh)
+    sh = adv(sh, 25)
+    jax.block_until_ready(sh.positions)
+    assert int(sh.step) == 25
+    assert int(sh.nprom) == 3  # steps 0, 10, 20
+    out = unshard_slot_state(sh, eng)
+    assert out.positions.shape == (state.n_particles, 3)
+    assert np.isfinite(np.asarray(out.positions)).all()
+
+
+def test_halo_slot_migration_stays_exact(mesh):
+    """Rows migrate to the adjacent shard at every rebin (ppermute
+    buffers), so a particle crossing slab boundaries — even drifting
+    through SEVERAL slabs — keeps the sharded trajectory exact vs the
+    single-chip slot loop, with no flag and no host reshard."""
+    state, params, pot = _system(n=1200, rho=0.4)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    single = eng.as_single_chip()
+    L = float(state.unitcell[0, 0])
+
+    # Aim particle 0 along +x fast enough to traverse ~2 slabs over the
+    # run (but gently enough for exact integration at this dt).
+    v = np.array(state.velocities)
+    v[0] = [2.2 * (L / 8) / (200 * 0.002), 0.0, 0.0]
+    state = state.replace(velocities=jnp.asarray(v))
+
+    ref = slot_forces(slotify(state, single), single)
+    ref_adv = jax.jit(make_slot_advance(params, NVE(), single))
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, NVE(), eng, mesh, sh)
+
+    ref = ref_adv(ref, 200)
+    sh = adv(sh, 200)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    ref_out = unslotify_state(ref)
+    out = unshard_slot_state(sh, eng)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=1e-8, atol=1e-8)
+    # The walker actually crossed slabs.
+    dx = (np.asarray(out.images)[0, 0] * L + np.asarray(out.positions)[0, 0]
+          - float(state.positions[0, 0]))
+    assert dx > L / 8
+
+
+def test_halo_slot_migration_capacity_overflow_flags(mesh):
+    """More escapes than the fixed migration buffer holds must raise the
+    per-shard flag (rows clamp to the edge plane, never dropped)."""
+    state, params, pot = _system(n=1200, rho=0.4)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    eng = eng.replace(migration_capacity=1)  # absurdly tight
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, NVT(0.75, 0.2), eng, mesh, sh)
+    sh = adv(sh, 120)  # plenty of rebins; >1 boundary crosser guaranteed
+    jax.block_until_ready(sh.positions)
+    assert bool(np.asarray(sh.nbrs.overflow).any())
+    # Nothing lost: every particle still present.
+    occ = np.asarray(sh.nbrs.occupied)
+    assert int(occ.sum()) == state.n_particles
