@@ -132,14 +132,25 @@ def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
         # schedule is called with the 1-indexed step, matching the reference.
         step_1indexed = state.step + 1
         if is_nvt:
+            # One kinetic reduction serves thermostat AND temperature
+            # (T_after = scale^2 * 2K/nf): one psum per step on a mesh.
+            from mdtpu.integrate.thermostat import (bussi_scale_from_kinetic,
+                                                    compute_kinetic)
+
             ktemp_t = ensemble.ktemp(step_1indexed)
             key_step = jax.random.fold_in(state.key, state.step)
-            v = bussi_rescale(key_step, v, ktemp_t, state.nf, dt, ensemble.tau,
-                              axis_name=axis_name)
+            kinetic = compute_kinetic(v, axis_name=axis_name)
+            scale = bussi_scale_from_kinetic(key_step, kinetic, ktemp_t,
+                                             state.nf, dt, ensemble.tau,
+                                             v.dtype)
+            v = v * scale
+            temperature = scale * scale * 2.0 * kinetic / state.nf
             if compensated:
                 # Rescaling invalidates the velocity compensation buffer.
                 vc = jnp.zeros_like(vc)
-        temperature = compute_temperature(v, state.nf, axis_name=axis_name)
+        else:
+            temperature = compute_temperature(v, state.nf,
+                                              axis_name=axis_name)
 
         return state.replace(
             positions=x,

@@ -49,16 +49,11 @@ def sum_noises(key, nf):
     return jnp.where(nf > 0, draw, jnp.zeros_like(draw))
 
 
-def bussi_rescale(key, velocities, ktemp, nf, dt, tau, axis_name=None):
-    """Return velocities rescaled by the exact Bussi factor.
-
-    Reference: /root/reference/src/thermostat.jl:20-48. Sharded semantics
-    (``axis_name`` set): the kinetic energy is psum'ed so every shard computes
-    the SAME global rescale factor from the same (replicated) key — one
-    thermostat for the whole system, not one per shard.
-    """
-    dtype = velocities.dtype
-    kinetic = compute_kinetic(velocities, axis_name)
+def bussi_scale_from_kinetic(key, kinetic, ktemp, nf, dt, tau, dtype):
+    """The exact Bussi rescale factor given the (already reduced) kinetic
+    energy. Split out so one kinetic reduction serves both the thermostat
+    and the temperature observable (T_after = scale^2 * 2K/nf) — on a
+    sharded mesh that is one psum per step instead of two."""
     current_temperature = 2.0 * kinetic / nf
 
     k1, k2 = jax.random.split(key)
@@ -69,5 +64,18 @@ def bussi_rescale(key, velocities, ktemp, nf, dt, tau, axis_name=None):
     c2 = (1.0 - term_1) * jnp.asarray(ktemp, dtype) / (current_temperature * nf)
     term_2 = c2 * (r2 + r1 * r1)
     term_3 = 2.0 * r1 * jnp.sqrt(term_1 * c2)
-    scale = jnp.sqrt(term_1 + term_2 + term_3)
+    return jnp.sqrt(term_1 + term_2 + term_3)
+
+
+def bussi_rescale(key, velocities, ktemp, nf, dt, tau, axis_name=None):
+    """Return velocities rescaled by the exact Bussi factor.
+
+    Reference: /root/reference/src/thermostat.jl:20-48. Sharded semantics
+    (``axis_name`` set): the kinetic energy is psum'ed so every shard computes
+    the SAME global rescale factor from the same (replicated) key — one
+    thermostat for the whole system, not one per shard.
+    """
+    kinetic = compute_kinetic(velocities, axis_name)
+    scale = bussi_scale_from_kinetic(key, kinetic, ktemp, nf, dt, tau,
+                                     velocities.dtype)
     return velocities * scale

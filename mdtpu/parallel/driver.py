@@ -51,7 +51,7 @@ def run_simulation_sharded(
     pathname: str,
     *,
     mesh=None,
-    engine: Optional[HaloCellGridEngine] = None,
+    engine=None,
     n_devices: Optional[int] = None,
     reshard_every: Optional[int] = None,
     margin: float = 0.3,
@@ -61,23 +61,40 @@ def run_simulation_sharded(
     compress: bool = False,
     log_times: bool = False,
     checkpoint_every: Optional[int] = None,
+    precision: str = "auto",
 ) -> SimulationState:
     """Run ``total_steps`` over the mesh; returns the final state in
     ordinary (N, d) particle order (same contract as ``run_simulation``).
 
-    ``reshard_every``: migrate particles to their owner slabs every this many
-    steps (default: ``frequency``). Between reshards particles may drift up
-    to skin/2 (monitored by the engine's overflow flag, re-checked at every
-    event boundary — a flagged segment triggers an immediate reshard and a
-    warning, mirroring the single-device capacity-grow recovery).
-    """
+    The default engine is the slot-layout halo engine
+    (:class:`~mdtpu.parallel.halo_slot.HaloSlotEngine`) — the multi-chip
+    production path: migration happens ON DEVICE at every skin rebuild
+    (exact dynamics, no host resharding). Pass a
+    :class:`~mdtpu.parallel.halo.HaloCellGridEngine` to use the row-layout
+    engine with driver-cadence resharding instead (``reshard_every``:
+    default ``frequency``; between reshards particles may drift up to
+    skin/2, monitored by the overflow flag — a flagged segment triggers an
+    emergency reshard and a warning).
+
+    ``precision``: as in ``run_simulation`` — 'auto' runs the f32x2 hi/lo
+    pair sweep for f32 NVE runs on the slot engine."""
+    from mdtpu.parallel.halo_slot import HaloSlotEngine
+
     if mesh is None:
         mesh = make_mesh(n_devices)
     n = state.n_particles
     if engine is None:
-        engine = HaloCellGridEngine.create_tuned(
+        engine = HaloSlotEngine.create_tuned(
             params.potential, float(state.cutoff), np.asarray(state.unitcell),
-            n, n_shards=mesh.devices.size)
+            n, n_shards=mesh.devices.size,
+            max_sigma=float(np.max(np.asarray(state.diameters))))
+    if isinstance(engine, HaloSlotEngine):
+        return _run_sharded_slot(
+            state, params, ensemble, total_steps, frequency, pathname,
+            mesh=mesh, engine=engine, compensated=compensated,
+            traj_name=traj_name, thermo_name=thermo_name, compress=compress,
+            log_times=log_times, checkpoint_every=checkpoint_every,
+            precision=precision)
 
     trajectory_file, thermo_file = open_files(pathname, traj_name,
                                               thermo_name)
@@ -242,3 +259,177 @@ def valid_rows(state: SimulationState, engine: HaloCellGridEngine):
     """Boolean mask of real (non-pad) rows of a padded sharded state."""
     trash = engine.mx * engine.grid[1] * engine.grid[2] * engine.cell_capacity
     return np.asarray(state.nbrs.addr) < trash
+
+
+def _run_sharded_slot(
+    state: SimulationState,
+    params: Parameters,
+    ensemble,
+    total_steps: int,
+    frequency: int,
+    pathname: str,
+    *,
+    mesh,
+    engine,
+    compensated: bool = True,
+    traj_name: str = "trajectory.xyz",
+    thermo_name: str = "thermo.txt",
+    compress: bool = False,
+    log_times: bool = False,
+    checkpoint_every: Optional[int] = None,
+    precision: str = "auto",
+) -> SimulationState:
+    """Sharded driver over the slot-layout halo engine: the event loop of
+    the single-device driver (thermo/trajectory/snapshots/checkpoints, lean
+    scalar pulls, restore-and-rerun overflow recovery) with the sharded
+    slot advance inside. Migration is on-device (every rebin), so there is
+    NO host resharding cadence at all."""
+    import warnings
+
+    from mdtpu.core.types import NVE
+    from mdtpu.integrate.slot_step import _host_wrap
+    from mdtpu.parallel.halo_slot import (build_sharded_slot_state,
+                                          make_sharded_slot_advance,
+                                          unshard_slot_state)
+
+    n = state.n_particles
+    if precision not in ("auto", "f32x2", "plain"):
+        raise ValueError(
+            f"precision must be auto/f32x2/plain, got {precision!r}")
+    hilo = (precision == "f32x2"
+            or (precision == "auto" and isinstance(ensemble, NVE)
+                and state.positions.dtype == jnp.float32))
+
+    trajectory_file, thermo_file = open_files(pathname, traj_name,
+                                              thermo_name)
+    with open(thermo_file, "a") as io:
+        io.write(THERMO_HEADER)
+    from mdtpu.io.native_writer import open_trajectory_writer
+
+    traj_path = trajectory_file + ".zst" if compress else trajectory_file
+    if os.path.isfile(traj_path):
+        os.remove(traj_path)
+    traj_writer = open_trajectory_writer(traj_path, compress=compress)
+
+    volume = float(box_volume(state.unitcell))
+    dim = state.dimension
+    density = float(params.density)
+    potential = params.potential
+    e_lrc = float(potential.energy_lrc(n, volume))
+    p_lrc = float(potential.pressure_lrc(n, volume))
+    is_brownian = isinstance(ensemble, Brownian)
+
+    if state.nbrs is not None:
+        state = state.replace(nbrs=None)
+    particle_state = state
+
+    def build(particle_state, engine):
+        for _ in range(8):
+            try:
+                sh = build_sharded_slot_state(particle_state, engine, mesh)
+            except ValueError:
+                engine = engine.with_grown_capacity()
+                continue
+            adv = make_sharded_slot_advance(params, ensemble, engine, mesh,
+                                            sh, compensated=compensated,
+                                            hilo=hilo)
+            return sh, adv, engine
+        raise RuntimeError("cell capacity still overflowing after 8 grows")
+
+    sh, advance, engine = build(particle_state, engine)
+
+    start_step = int(sh.step)
+    end_step = start_step + total_steps
+    snap_set = set()
+    if log_times:
+        from mdtpu.io.logtimes import generate_log_times
+
+        snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
+        snap_set = set([0] + [s for s in snaps if s < end_step])
+    thermo_steps = set(range(start_step, end_step, frequency))
+    events = sorted(s for s in (thermo_steps | snap_set) if s >= start_step)
+
+    def run_segment(sh, engine, advance, n_adv):
+        """Advance with restore-and-rerun on overflow (cell capacity or
+        migration buffer), mirroring the single-device slot driver."""
+        seg_start = sh
+        sh = advance(sh, n_adv)
+        if not bool(np.asarray(sh.nbrs.overflow).any()):
+            return sh, engine, advance
+        for _ in range(8):
+            engine = engine.replace(
+                cell_capacity=int(engine.cell_capacity * 1.4 + 4),
+                migration_capacity=engine.migration_capacity * 2)
+            warnings.warn(
+                f"sharded slot capacity/migration overflow in segment "
+                f"ending step {int(sh.step)}: restoring and re-running "
+                f"with capacity {engine.cell_capacity}, migration buffer "
+                f"{engine.migration_capacity}")
+            restored_particle = unshard_slot_state(seg_start, engine)
+            sh2, advance, engine = build(restored_particle, engine)
+            sh2 = advance(sh2, n_adv)
+            if not bool(np.asarray(sh2.nbrs.overflow).any()):
+                return sh2, engine, advance
+            sh = sh2
+        raise RuntimeError("sharded capacity still overflowing after grows")
+
+    def host_rows(sh):
+        occ = np.asarray(sh.nbrs.occupied)
+        if int(occ.sum()) != n:
+            raise RuntimeError(
+                f"sharded slot state holds {int(occ.sum())} of {n} "
+                f"particles — overflow recovery failed")
+        ids = np.asarray(sh.ids)[occ]
+        order = np.argsort(ids)
+        pos = np.asarray(sh.positions).T[occ][order]
+        img = np.asarray(sh.images).T[occ][order]
+        pos, img = _host_wrap(pos, img, np.asarray(sh.unitcell))
+        diam = np.asarray(sh.diameters)[occ][order]
+        return pos, img, diam
+
+    current = start_step
+    for ev in events:
+        n_adv = ev - current + 1
+        sh, engine, advance = run_segment(sh, engine, advance, n_adv)
+        current = ev + 1
+        is_thermo = ev in thermo_steps
+        e = float(sh.energy)
+        t = float(sh.temperature)
+        if is_thermo:
+            if is_brownian:
+                nprom = max(int(sh.nprom), 1)
+                ener = e / n
+                pressure = (float(sh.virial_accum) / (dim * nprom * volume)
+                            + density * float(ensemble.ktemp))
+                t = float(ensemble.ktemp)
+                sh = sh.replace(
+                    virial_accum=jnp.zeros_like(sh.virial_accum),
+                    nprom=jnp.zeros_like(sh.nprom))
+            else:
+                ener = (e + e_lrc) / n
+                pressure = (float(sh.virial) / (dim * volume)
+                            + density * t + p_lrc)
+            with open(thermo_file, "a") as io:
+                io.write(f"{ev} {ener:.6f} {t:.6f} {pressure:.6f}\n")
+        if is_thermo or ev in snap_set:
+            pos, img, diam = host_rows(sh)
+            cell_np = np.asarray(sh.unitcell)
+            if is_thermo:
+                traj_writer.write_frame(ev, cell_np, pos, img, diam)
+            if ev in snap_set:
+                write_lammps_frame(os.path.join(pathname, f"snapshot.{ev}"),
+                                   ev, cell_np, pos, img, diam, mode="w")
+        if checkpoint_every is not None and ev % checkpoint_every == 0:
+            from mdtpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(unshard_slot_state(sh, engine),
+                            os.path.join(pathname, f"checkpoint.{ev}.npz"))
+
+    if current < end_step:
+        sh, engine, advance = run_segment(sh, engine, advance,
+                                          end_step - current)
+    traj_writer.close()
+    final = unshard_slot_state(sh, engine)
+    finalize_simulation(trajectory_file, pathname, end_step, final,
+                        compress=False)
+    return final

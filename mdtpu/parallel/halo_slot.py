@@ -305,13 +305,21 @@ class HaloSlotEngine:
         win_diam = ghost_z_window(diam)
 
         # --- halo exchange: receive the right neighbor's first plane ------
+        # ONE batched ppermute for all window components (+ lo words + the
+        # diameter window): per-collective launch overhead dominates the
+        # tiny plane payloads, so fewer/bigger messages win on both the
+        # runtime and real ICI.
         fwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]   # i sends to i-1
         is_last = p == n_sh - 1
+        send = jnp.stack([w[0] for w in win]
+                         + ([w[0] for w in win_lo] if hilo else [])
+                         + [win_diam[0]])          # (B, ny, nz, 3C)
+        recv = jax.lax.ppermute(send, axis, fwd)
         ghosts, ghosts_lo = [], []
         for k in range(dim):
-            g = jax.lax.ppermute(win[k][:1], axis, fwd)  # (1, ny, nz, 3C)
+            g = recv[k][None]
             if hilo:
-                g_lo = jax.lax.ppermute(win_lo[k][:1], axis, fwd)
+                g_lo = recv[dim + k][None]
                 # Periodic image: the ghost received by the LAST device is
                 # global plane 0 — shift through two_sum, residual to lo.
                 s, r = two_sum(g, cell[k, 0])
@@ -321,7 +329,7 @@ class HaloSlotEngine:
             else:
                 g = g + jnp.where(is_last, cell[k, 0], jnp.zeros((), dtype))
             ghosts.append(g)
-        ghost_diam = jax.lax.ppermute(win_diam[:1], axis, fwd)
+        ghost_diam = recv[-1][None]
         ext = [jnp.concatenate([w, g], axis=0) for w, g in zip(win, ghosts)]
         ext_diam = jnp.concatenate([win_diam, ghost_diam], axis=0)
         if hilo:
@@ -427,17 +435,18 @@ class HaloSlotEngine:
                 react_ext[k] = react_ext[k].at[ox:ox + mx].add(react)
 
         # Fold local reactions; send the ghost-plane reactions back to the
-        # right neighbor (they own global plane (p+1)*mx).
+        # right neighbor (they own global plane (p+1)*mx) — one batched
+        # ppermute for all components.
         bwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        back = jax.lax.ppermute(
+            jnp.stack([react_ext[k][mx] for k in range(dim)]), axis, bwd)
         forces = []
         for k in range(dim):
             fk = f_own[k] + react_ext[k][:mx].reshape(n_cells_loc, cap)
-            back = jax.lax.ppermute(react_ext[k][mx:], axis, bwd)
-            fk = fk.reshape(mx, ny, nz, cap).at[:1].add(back)
+            fk = fk.reshape(mx, ny, nz, cap).at[0].add(back[k])
             forces.append(fk.reshape(-1))
         if observables:
-            energy = jax.lax.psum(energy, axis)
-            virial = jax.lax.psum(virial, axis)
+            energy, virial = jax.lax.psum((energy, virial), axis)
         return energy, virial, jnp.stack(forces), nbrs
 
 

@@ -142,6 +142,64 @@ def test_halo_slot_migration_stays_exact(mesh):
     assert dx > L / 8
 
 
+def test_run_simulation_sharded_slot_engine_output_parity(mesh, tmp_path):
+    """run_simulation_sharded with the (default) slot-layout halo engine:
+    thermo rows, ids-ordered trajectory frames, final state — all matching
+    the single-device driver, with zero host resharding."""
+    import os
+
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.sim.driver import run_simulation
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from tests.test_parallel import _read_lammps_frames
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    cell_np = np.asarray(state.unitcell)
+
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, cell_np, n, n_shards=8)
+    ref_eng = eng.as_single_chip()
+    ref_final = run_simulation(state, params, NVE(), 40, 20,
+                               str(tmp_path / "ref"), engine=ref_eng)
+    final = run_simulation_sharded(state, params, NVE(), 40, 20,
+                                   str(tmp_path / "sh"), mesh=mesh,
+                                   engine=eng, checkpoint_every=20)
+
+    ref_rows = np.loadtxt(tmp_path / "ref" / "thermo.txt")
+    sh_rows = np.loadtxt(tmp_path / "sh" / "thermo.txt")
+    np.testing.assert_allclose(sh_rows, ref_rows, rtol=1e-7, atol=1e-7)
+
+    ref_frames = _read_lammps_frames(tmp_path / "ref" / "trajectory.xyz")
+    sh_frames = _read_lammps_frames(tmp_path / "sh" / "trajectory.xyz")
+    assert [s for s, _ in sh_frames] == [s for s, _ in ref_frames]
+    for (_, a), (_, b) in zip(sh_frames, ref_frames):
+        np.testing.assert_array_equal(a[:, 0], b[:, 0])
+        np.testing.assert_allclose(a[:, 1:], b[:, 1:], rtol=1e-5, atol=1e-5)
+
+    assert final.positions.shape == (n, 3) and final.ids is None
+    np.testing.assert_allclose(np.asarray(final.positions),
+                               np.asarray(ref_final.positions),
+                               rtol=1e-8, atol=1e-8)
+    assert os.path.isfile(tmp_path / "sh" / "final.xyz")
+    assert os.path.isfile(tmp_path / "sh" / "checkpoint.20.npz")
+
+    # Checkpoint-resume splice through the sharded slot driver.
+    from mdtpu.io.checkpoint import load_checkpoint
+
+    restored = load_checkpoint(str(tmp_path / "sh" / "checkpoint.20.npz"),
+                               state)
+    cont = run_simulation_sharded(restored, params, NVE(), 19, 19,
+                                  str(tmp_path / "cont"), mesh=mesh,
+                                  engine=eng)
+    assert int(cont.step) == 40
+    e0 = float(final.energy) + 0.5 * float(jnp.sum(final.velocities ** 2))
+    e1 = float(cont.energy) + 0.5 * float(jnp.sum(cont.velocities ** 2))
+    assert abs(e1 - e0) / abs(e0) < 1e-6
+
+
 def test_halo_slot_migration_capacity_overflow_flags(mesh):
     """More escapes than the fixed migration buffer holds must raise the
     per-shard flag (rows clamp to the edge plane, never dropped)."""
