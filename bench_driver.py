@@ -52,16 +52,24 @@ def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100):
         # Longer run at sparse output so the per-call setup (retrace of the
         # freshly-closed-over advance, ~2-3 s) amortizes out of the
         # steady-state number.
-        for freq, n_steps in ((frequency, steps), (1000, 10_000)):
+        # (frequency, traj_frequency, steps): None = coupled (reference
+        # contract); the thermo-dense/traj-sparse case shows the lean
+        # scalar-only event pulls (thermo needs 5 scalars; the full-row
+        # pull is ~240 ms on the remote tunnel).
+        for freq, tfreq, n_steps in ((frequency, None, steps),
+                                     (frequency, 1000, steps),
+                                     (1000, None, 10_000)):
             t0 = time.perf_counter()
             state = run_simulation(state, params, NVT(temp, 0.4), n_steps,
-                                   freq, out, engine=engine)
+                                   freq, out, engine=engine,
+                                   traj_frequency=tfreq)
             elapsed = time.perf_counter() - t0
             rate = n_steps / elapsed
             print(json.dumps({
                 "metric": ("driver steps/sec, N=65536 LJ NVT through "
-                           f"run_simulation (thermo+trajectory every {freq} "
-                           "steps, async writer)"),
+                           f"run_simulation (thermo every {freq}, "
+                           f"trajectory every {tfreq or freq} steps, "
+                           "async writer)"),
                 "value": round(rate, 2),
                 "unit": "steps/sec",
                 "ms_per_step": round(elapsed / n_steps * 1e3, 4),

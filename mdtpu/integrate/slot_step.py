@@ -606,9 +606,16 @@ def make_slot_advance(params: Parameters, ensemble, engine: CellGridEngine,
         out, _ = jax.lax.while_loop(outer_cond, outer_body,
                                     (state, jnp.int32(0)))
         if lean:
-            # Final full step (rebin cond + observable sweep): segment
+            # Final full step (rebin + observable sweep): segment
             # boundaries always expose fresh energy/virial.
-            out = jax.lax.cond(k > 0, last_step, lambda s: s, out)
+            if getattr(engine, "rebin_unconditional", False):
+                # The sharded step contains collectives, which are not
+                # SPMD-safe under lax.cond — run it unconditionally
+                # (callers always advance k >= 1 steps; the k = 0 guard
+                # only exists for the single-chip path's generality).
+                out = last_step(out)
+            else:
+                out = jax.lax.cond(k > 0, last_step, lambda s: s, out)
         return out
 
     return advance
