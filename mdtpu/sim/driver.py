@@ -60,12 +60,41 @@ def finalize_simulation(trajectory_file, pathname, total_steps, state,
         compress_zstd(trajectory_file)
 
 
-def _make_advance(step_fn):
+def _event_scalars(state):
+    """All per-event output scalars (+ the overflow flag) as ONE device
+    vector, computed inside the advance program: device transfers and
+    jitted calls each cost a full RPC round trip on the remote tunnel
+    (5-50 ms depending on load), so the event loop does exactly one call
+    (advance, which also returns this vector) and one transfer per
+    thermo-only event."""
+    d = state.energy.dtype
+    nbrs = state.nbrs
+    ovf = (nbrs.overflow.astype(d)
+           if nbrs is not None and hasattr(nbrs, "overflow")
+           else jnp.zeros((), d))
+    va = (state.virial_accum if state.virial_accum is not None
+          else jnp.zeros((), d))
+    nprom = (state.nprom if state.nprom is not None
+             else jnp.zeros((), jnp.int32))
+    return jnp.stack([state.energy, state.temperature, state.virial,
+                      va.astype(d), nprom.astype(d), ovf])
+
+
+def _with_scalars(adv):
+    """advance(state, k) -> (state, event-scalar vector), one jitted call."""
     @jax.jit
     def advance(state, n_steps):
-        return jax.lax.fori_loop(0, n_steps, lambda i, s: step_fn(s), state)
+        out = adv(state, n_steps)
+        return out, _event_scalars(out)
 
     return advance
+
+
+def _make_advance(step_fn):
+    def adv(state, n_steps):
+        return jax.lax.fori_loop(0, n_steps, lambda i, s: step_fn(s), state)
+
+    return _with_scalars(adv)
 
 
 def run_simulation(
@@ -176,9 +205,9 @@ def run_simulation(
             raise RuntimeError("cell capacity still overflowing after 8 grows")
 
         state, engine = build_slot(state, engine)
-        advance = jax.jit(make_slot_advance(params, ensemble, engine,
-                                            compensated=compensated,
-                                            hilo=hilo))
+        advance = _with_scalars(make_slot_advance(params, ensemble, engine,
+                                                  compensated=compensated,
+                                                  hilo=hilo))
         step_fn = None
     else:
         # Materialise engine state + initial forces (deliberate fix: the
@@ -270,9 +299,29 @@ def run_simulation(
                                dev["unitcell"], dev["positions"], dev["images"],
                                dev["diameters"], mode="w")
 
-    def run_segment(state, engine, advance, step_fn, n_adv):
-        """Advance ``n_adv`` steps, recovering from engine capacity overflow
-        (the fixed-shape analog of CellListMap's dynamic cell lists).
+    def pull_event(state, vec, ev):
+        """ONE packed scalar transfer per event (``vec`` is the device
+        vector the advance call itself returned — see _event_scalars);
+        particle rows ride along only when a trajectory frame or snapshot
+        is actually written (the row pull is ~240 ms at N=65k on the
+        tunnel)."""
+        vec = np.asarray(vec)
+        host = {"energy": vec[0], "temperature": vec[1], "virial": vec[2],
+                "virial_accum": vec[3], "nprom": vec[4],
+                "overflow": bool(vec[5])}
+        if ev in traj_steps or ev in snap_set:
+            dev = dict(positions=state.positions, images=state.images,
+                       unitcell=state.unitcell, diameters=state.diameters)
+            if use_slot:
+                dev["occupied"] = state.nbrs.occupied
+                dev["ids"] = state.ids
+            host.update(jax.device_get(dev))
+        return host
+
+    def run_segment(state, engine, advance, step_fn, n_adv, ev):
+        """Advance ``n_adv`` steps, pull the event data, and recover from
+        engine capacity overflow (the fixed-shape analog of CellListMap's
+        dynamic cell lists).
 
         Slot mode: an overflowing rebin scatters rows past cell capacity to
         the trash column — the particles would be PERMANENTLY lost (position,
@@ -287,11 +336,10 @@ def run_simulation(
         state rows — forces degrade transiently and recover fully on regrow
         — so those keep the cheaper grow-and-continue."""
         seg_start = state
-        state = advance(state, n_adv)
-        nbrs = state.nbrs
-        if (nbrs is None or not hasattr(nbrs, "overflow")
-                or not bool(nbrs.overflow)):
-            return state, engine, advance, step_fn
+        state, vec = advance(state, n_adv)
+        host = pull_event(state, vec, ev)
+        if not bool(host.get("overflow", False)):
+            return state, engine, advance, step_fn, host
         if use_slot:
             import warnings
 
@@ -305,12 +353,13 @@ def run_simulation(
                     slotify(unslotify_state(seg_start), engine), engine)
                 if bool(restored.nbrs.overflow):
                     continue  # initial binning still too tight: grow again
-                advance = jax.jit(make_slot_advance(
+                advance = _with_scalars(make_slot_advance(
                     params, ensemble, engine, compensated=compensated,
                     hilo=hilo))
-                state = advance(restored, n_adv)
-                if not bool(state.nbrs.overflow):
-                    return state, engine, advance, step_fn
+                state, vec = advance(restored, n_adv)
+                host = pull_event(state, vec, ev)
+                if not bool(host["overflow"]):
+                    return state, engine, advance, step_fn, host
             raise RuntimeError(
                 "cell capacity still overflowing after 8 grows")
         engine = engine.with_grown_capacity()
@@ -319,7 +368,8 @@ def run_simulation(
         state = state.replace(nbrs=nbrs)
         step_fn = make_step(params, ensemble, engine, compensated=compensated)
         advance = _make_advance(step_fn)
-        return state, engine, advance, step_fn
+        state, vec = advance(state, 0)
+        return state, engine, advance, step_fn, pull_event(state, vec, ev)
 
     meter = None
     if perf_log:
@@ -329,30 +379,17 @@ def run_simulation(
 
     current = start_step
     for ev in event_steps:
-        # Execute through loop iteration `ev` (i.e. ev - current + 1 steps).
+        # Execute through loop iteration `ev` (i.e. ev - current + 1 steps),
+        # pulling the event data in ONE eager device_get (measured faster
+        # than overlapping the pull with the next segment's execution on
+        # the remote tunnel — transfers contend with the running program's
+        # RPC stream).
         n_adv = ev - current + 1
-        state, engine, advance, step_fn = run_segment(state, engine, advance,
-                                                      step_fn, n_adv)
+        state, engine, advance, step_fn, host = run_segment(
+            state, engine, advance, step_fn, n_adv, ev)
         current = ev + 1
         if meter is not None:
-            jax.block_until_ready(state.energy)
             meter.tick(ev, n_adv)
-        # Pull what the outputs need; dispatch happens before the previous
-        # event's write (flush) so I/O overlaps compute. Thermo-only events
-        # pull five scalars; particle rows ride along only when a trajectory
-        # frame or snapshot is actually written (on a remote-tunnel TPU the
-        # row pull is ~240 ms at N=65k — the dominant high-frequency cost).
-        dev = {
-            "energy": state.energy, "temperature": state.temperature,
-            "virial": state.virial, "virial_accum": state.virial_accum,
-            "nprom": state.nprom,
-        }
-        if ev in traj_steps or ev in snap_set:
-            dev.update(positions=state.positions, images=state.images,
-                       unitcell=state.unitcell, diameters=state.diameters)
-            if use_slot:
-                dev["occupied"] = state.nbrs.occupied
-                dev["ids"] = state.ids
         if is_brownian and ev in thermo_steps:
             # Reset accumulators after output
             # (/root/reference/src/simulation.jl:266).
@@ -361,12 +398,7 @@ def run_simulation(
                 nprom=jnp.zeros_like(state.nprom),
             )
         flush(pending)
-        # Eager fetch ON PURPOSE: on the remote-TPU tunnel, pulling from an
-        # idle device is ~25% faster than overlapping the pull with the next
-        # segment's execution (measured 4.3 vs 5.5 ms/step at N=65k,
-        # frequency=100 — transfers contend with the running program's RPC
-        # stream). On locally-attached TPUs either order works.
-        pending = (ev, jax.device_get(dev))
+        pending = (ev, host)
         if checkpoint_every is not None and ev % checkpoint_every == 0:
             from mdtpu.io.checkpoint import save_checkpoint
 
@@ -375,7 +407,7 @@ def run_simulation(
                             os.path.join(pathname, f"checkpoint.{ev}.npz"))
 
     if current < end_step:
-        state = advance(state, end_step - current)
+        state, _ = advance(state, end_step - current)
     flush(pending)
     traj_writer.close()
 
