@@ -35,6 +35,7 @@ from mdtpu.potentials.base import Potential, energy_lrc, evaluate, pressure_lrc
 from mdtpu.potentials.lennard_jones import LennardJones
 from mdtpu.potentials.pseudo_hs import PseudoHS
 from mdtpu.potentials.xplor import LennardJonesXPLOR
+from mdtpu.parallel.driver import run_simulation_sharded
 from mdtpu.sim.driver import run_simulation
 from mdtpu.sim.initialization import initialize_state, initialize_velocities
 
@@ -44,6 +45,7 @@ __all__ = [
     "Parameters", "SimulationState", "NVT", "NVE", "Brownian",
     "ConstantSchedule",
     "initialize_state", "initialize_velocities", "run_simulation",
+    "run_simulation_sharded",
     "PseudoHS", "LennardJones", "LennardJonesXPLOR",
     "LinearRamp", "ExponentialRamp", "initial_temperature_for_velocities",
     "minimize", "fire_minimize",

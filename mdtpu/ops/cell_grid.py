@@ -201,14 +201,19 @@ class CellGridEngine:
         _, grids, cap = min((c for c in cands if c[0] <= 1.05 * best_cost),
                             key=lambda c: c[1][0])
         skin = min(lengths[k] / grids[k] for k in range(len(lengths))) - cutoff
-        # Dense pair tiles of (n_cells, C, 3C) f32 beyond ~400 MB exhaust
-        # HBM once a few live simultaneously: switch to the x-plane scan.
+        # Dense pair tiles of (n_cells, C, 3C) f32: beyond ~100 MB the
+        # sweep goes HBM-bandwidth-bound (block intermediates spill out of
+        # VMEM) and the x-plane scan's smaller working set WINS — measured
+        # at N=262k (tile 218 MB): scan 4.85 vs dense 6.57 ms/step (-26%),
+        # while at N=65k (tile 56 MB) dense wins 1.41 vs 1.96 (probe_ps,
+        # BENCH_NOTES round-3 scaling). Beyond ~400 MB the dense tiles
+        # additionally exhaust HBM outright.
         subl = -(-cap // 8) * 8
         lanes = -(-(3 * cap) // 128) * 128
         tile_bytes = int(np.prod(grids)) * subl * lanes * 4
         return cls(potential=potential, cutoff=float(cutoff),
                    skin=float(skin), grid=grids, cell_capacity=cap,
-                   plane_scan=bool(len(grids) == 3 and tile_bytes > 4e8))
+                   plane_scan=bool(len(grids) == 3 and tile_bytes > 1.2e8))
 
     def with_grown_capacity(self):
         return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
