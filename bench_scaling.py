@@ -41,7 +41,7 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
         # less padded compute at 262k and ~5x fewer rebuilds.
         engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n)
         kind = (f"slot-cellgrid grid={engine.grid} C={engine.cell_capacity}"
-                f" skin={engine.skin:.2f}")
+                f" skin={engine.skin:.2f} scan={int(engine.plane_scan)}")
         slot = True
     except ValueError:
         engine = NaivePairEngine(potential=pot, cutoff=1.5)

@@ -119,9 +119,14 @@ class CellGridEngine:
     grid: Tuple[int, ...] = struct.field(pytree_node=False, default=(3, 3, 3))
     cell_capacity: int = struct.field(pytree_node=False, default=16)
     # Memory-bounded sweep: lax.scan over x-planes instead of one dense
-    # (n_cells, C, 3C) computation — required beyond ~0.5M particles on a
-    # 16 GB chip (create_tuned turns it on automatically), a few % slower
-    # below that. Slot path only; composes with the hi/lo pair sweep.
+    # (n_cells, C, 3C) computation — FASTER once the dense tile exceeds
+    # ~120 MB (the block working set outgrows the on-chip footprint and
+    # goes HBM-bound; create_tuned switches automatically), a few %
+    # slower below that. Slot path only; composes with the hi/lo sweep.
+    # Measured negative result (BENCH_NOTES round 3): chunking INSIDE the
+    # plane (inner scan over y-row blocks) is 4-28% slower at 262k-1M —
+    # XLA already fuses the pair tile into its reductions, so the tile
+    # never materializes and chunking only adds slice/stack copies.
     plane_scan: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
