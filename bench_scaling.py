@@ -86,5 +86,9 @@ if __name__ == "__main__":
     sizes = (1024, 4096, 16384, 65536, 262144)
     if "--big" in sys.argv:
         sizes = sizes + (1048576,)
+    if "--huge" in sys.argv:
+        # Single-chip capacity plateau (BENCH_NOTES): 2M/4M/8M via the
+        # x-plane-scan sweep; ~10M is the n_slots < 2^24 address cap.
+        sizes = sizes + (2097152, 4194304, 8388608)
     for n in sizes:
-        run_size(n)
+        run_size(n, steps=200 if n > 1048576 else 400)
