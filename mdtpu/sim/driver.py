@@ -407,7 +407,13 @@ def run_simulation(
                             os.path.join(pathname, f"checkpoint.{ev}.npz"))
 
     if current < end_step:
-        state, _ = advance(state, end_step - current)
+        # The tail (steps past the last output event) runs through
+        # run_segment too: a slot-capacity overflow here would otherwise
+        # silently drop particles from final.xyz and the returned state.
+        # end_step is never in the event sets, so only scalars are pulled
+        # and the host dict is discarded.
+        state, engine, advance, step_fn, _ = run_segment(
+            state, engine, advance, step_fn, end_step - current, end_step)
     flush(pending)
     traj_writer.close()
 

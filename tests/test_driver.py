@@ -347,15 +347,14 @@ def test_traj_frequency_decouples_trajectory_from_thermo(tmp_path):
     np.testing.assert_array_equal(rows, rows2)
 
 
-def test_slot_overflow_restores_and_reruns_without_particle_loss(tmp_path):
-    """Capacity overflow on the slot path must never lose particles
-    (previously an overflowing rebin silently scattered rows to the trash
-    column, permanently deleting them): the driver restores the pre-segment
-    state and re-runs with grown capacity. Overflow is forced
-    deterministically by aiming one particle at the fullest cell of a
-    capacity-exact engine."""
-    state, params, eng = _f32_cell_system(tmp_path, seed=31)
-    n = state.n_particles
+def _tight_overflow_setup(tmp_path, seed=31):
+    """A state + capacity-exact engine where one aimed particle overflows
+    the fullest cell after ~n_steps: the particle nearest to (but outside)
+    the fullest cell walks into its center at moderate speed (per-step
+    displacement ~0.02 resolves core collisions — a fast insertion would
+    deposit unbounded energy); the skin rebins catch it inside, pushing
+    occupancy past the exact capacity."""
+    state, params, eng = _f32_cell_system(tmp_path, seed=seed)
     nbrs = eng.allocate(state.positions, state.diameters, state.unitcell,
                         state.unitcell_inv)
     cap = eng.cell_capacity
@@ -366,11 +365,6 @@ def test_slot_overflow_restores_and_reruns_without_particle_loss(tmp_path):
     c_star = int(counts.argmax())
     tight = eng.replace(cell_capacity=int(counts.max()))
 
-    # Walk the particle nearest to c_star (but outside it) into c_star's
-    # center at moderate speed (per-step displacement ~0.02 resolves core
-    # collisions — a fast insertion would deposit unbounded energy): the
-    # skin rebins catch it inside c_star, pushing occupancy past the exact
-    # capacity.
     nx, ny, nz = eng.grid
     cix, ciy, ciz = c_star // (ny * nz), (c_star // nz) % ny, c_star % nz
     L = np.diag(np.asarray(state.unitcell))
@@ -383,6 +377,16 @@ def test_slot_overflow_restores_and_reruns_without_particle_loss(tmp_path):
     state = state.replace(velocities=state.velocities.at[j].set(
         jnp.asarray(v_aim, jnp.float32)))
     n_steps = int(np.linalg.norm(center - pos[j]) / (20.0 * 0.001)) + 60
+    return state, params, tight, n_steps
+
+
+def test_slot_overflow_restores_and_reruns_without_particle_loss(tmp_path):
+    """Capacity overflow on the slot path must never lose particles
+    (previously an overflowing rebin silently scattered rows to the trash
+    column, permanently deleting them): the driver restores the pre-segment
+    state and re-runs with grown capacity."""
+    state, params, tight, n_steps = _tight_overflow_setup(tmp_path)
+    n = state.n_particles
 
     with pytest.warns(UserWarning, match="capacity overflow"):
         out = run_simulation(state, params, NVE(), n_steps, 40,
@@ -397,6 +401,25 @@ def test_slot_overflow_restores_and_reruns_without_particle_loss(tmp_path):
     assert float(np.abs(v_out).max()) < 1e3
     rows = np.loadtxt(os.path.join(tmp_path, "tight", "thermo.txt"))
     assert np.isfinite(rows).all()
+
+
+def test_slot_overflow_in_tail_segment_recovers(tmp_path):
+    """Overflow in the TAIL segment (steps past the last output event) must
+    also restore-and-rerun: previously the tail bypassed run_segment, so an
+    overflow there silently dropped particles from final.xyz and the
+    returned state. frequency > n_steps leaves only the step-0 event, so the
+    aimed particle overflows mid-tail."""
+    state, params, tight, n_steps = _tight_overflow_setup(tmp_path, seed=31)
+    n = state.n_particles
+
+    with pytest.warns(UserWarning, match="capacity overflow"):
+        out = run_simulation(state, params, NVE(), n_steps, 10 * n_steps,
+                             str(tmp_path / "tail"), engine=tight)
+    assert out.positions.shape == (n, 3)
+    assert np.isfinite(np.asarray(out.positions)).all()
+    # final.xyz carries all N rows too.
+    _, final_pos, _ = read_xyz(os.path.join(tmp_path, "tail", "final.xyz"))
+    assert final_pos.shape == (n, 3)
 
 
 def test_driver_2d_slot_fast_path_matches_naive(tmp_path):
