@@ -59,6 +59,11 @@ def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100):
         for freq, tfreq, n_steps in ((frequency, None, steps),
                                      (frequency, 1000, steps),
                                      (1000, None, 10_000)):
+            # Warm this cadence's batch-bucket programs (a new bucket size
+            # compiles a new scan program, ~60-90 s on the remote compile
+            # service the first time; cached persistently after).
+            run_simulation(state, params, NVT(temp, 0.4), min(n_steps, 2000),
+                           freq, out, engine=engine, traj_frequency=tfreq)
             t0 = time.perf_counter()
             state = run_simulation(state, params, NVT(temp, 0.4), n_steps,
                                    freq, out, engine=engine,

@@ -12,7 +12,12 @@ from mdtpu import Brownian, Parameters, PseudoHS, initialize_state, run_simulati
 
 
 def main(n_particles=1024, steps=20_000, out="./out_brownian"):
-    params = Parameters(density=0.5, n_particles=n_particles, dt=1e-4,
+    # dt: the Euler–Maruyama step is only conditionally stable on the steep
+    # pseudo-HS core — measured stable at dt <= 2e-5 at this state point,
+    # divergent at 5e-5+ (the driver raises on divergence rather than
+    # writing garbage). The reference's own Brownian driver is unrunnable
+    # as written (state.boxl, SURVEY quirk 1), so no reference dt exists.
+    params = Parameters(density=0.5, n_particles=n_particles, dt=1e-5,
                         potential=PseudoHS())
     state = initialize_state(params, out, dimension=3, cutoff=1.5, seed=2)
     state = run_simulation(state, params, Brownian(1.0), steps, 500, out,

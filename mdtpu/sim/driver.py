@@ -1,16 +1,20 @@
 """Simulation driver: the analog of the reference's two ``run_simulation!``
 methods (/root/reference/src/simulation.jl:40-178 MD, :181-308 Brownian).
 
-TPU-first design — *event-segmented device loop*: the union of output steps
+TPU-first design — *event-batched device loop*: the union of output steps
 (every ``frequency`` plus optional log-spaced snapshots) is computed on the
-host up front; between consecutive events the jitted ``advance(state, n)``
-runs ``n`` fused steps under ``lax.fori_loop`` with a *traced* bound, so one
-compilation serves every segment length and the device never syncs mid-
-segment. Host I/O (thermo rows, LAMMPS frames, snapshots) happens only at
-event boundaries: each event's arrays are pulled eagerly from the idle
-device (measured faster than overlapping the pull with the next segment on
-the remote-TPU tunnel — see the comment at the pull site), while the FILE
-writes of the previous event overlap the next segment's compute.
+host up front and grouped into batches; one jitted call runs a ``lax.scan``
+over the batch's per-event segment lengths (each segment a ``lax.fori_loop``
+of fused steps with a *traced* bound, so a handful of bucket-padded
+compilations serve every schedule) and returns the whole batch's thermo
+scalars as ONE (K, 8) matrix. On the remote-TPU tunnel every jitted call
+and every transfer pays a 5-50 ms RPC round trip, so the loop does exactly
+one call + one small transfer per group of scalar-only events, and one
+extra packed-array transfer at events that write particle rows (trajectory
+frames / snapshots — a dict pull would pay one RPC per leaf). File writes
+of the previous batch overlap the next batch's device execution; pulls stay
+eager-after-block (overlapping transfers with execution measured slower on
+the tunnel).
 
 File outputs are format-identical to the reference (thermo ``%d %.6f %.6f
 %.6f`` rows, LAMMPS dump frames, final.xyz, optional zstd compression and
@@ -61,12 +65,21 @@ def finalize_simulation(trajectory_file, pathname, total_steps, state,
 
 
 def _event_scalars(state):
-    """All per-event output scalars (+ the overflow flag) as ONE device
-    vector, computed inside the advance program: device transfers and
-    jitted calls each cost a full RPC round trip on the remote tunnel
-    (5-50 ms depending on load), so the event loop does exactly one call
-    (advance, which also returns this vector) and one transfer per
-    thermo-only event."""
+    """All per-event output scalars (+ health flags) as ONE device vector,
+    computed inside the advance program: device transfers and jitted calls
+    each cost a full RPC round trip on the remote tunnel (5-50 ms depending
+    on load), so the event loop does one call (advance, which also returns
+    these vectors) and one transfer per batch of thermo-only events.
+
+    Health flags (fused, ~free reductions):
+      * index 5 — engine overflow (capacity recovery trigger);
+      * index 6 — non-finite positions: a diverged run (e.g. an
+        Euler–Maruyama Brownian step beyond its stability bound on a steep
+        potential) otherwise keeps writing plausible-looking rows — beyond
+        the cutoff every pair contributes exact zeros, so energy reads 0.0,
+        not NaN. The driver raises instead of logging garbage;
+      * index 7 — occupied-slot count (slot states; -1 otherwise): catches
+        any unflagged particle loss at EVERY event, not just at row pulls."""
     d = state.energy.dtype
     nbrs = state.nbrs
     ovf = (nbrs.overflow.astype(d)
@@ -76,25 +89,113 @@ def _event_scalars(state):
           else jnp.zeros((), d))
     nprom = (state.nprom if state.nprom is not None
              else jnp.zeros((), jnp.int32))
+    bad = (~jnp.all(jnp.isfinite(state.positions))).astype(d)
+    nocc = (nbrs.occupied.sum().astype(d)
+            if state.ids is not None and nbrs is not None
+            and hasattr(nbrs, "occupied")
+            else jnp.full((), -1, d))
     return jnp.stack([state.energy, state.temperature, state.virial,
-                      va.astype(d), nprom.astype(d), ovf])
+                      va.astype(d), nprom.astype(d), ovf, bad, nocc])
 
 
-def _with_scalars(adv):
-    """advance(state, k) -> (state, event-scalar vector), one jitted call."""
+def _pack_output_rows(state, use_slot):
+    """Everything a trajectory frame / snapshot needs, packed into ONE device
+    array: ``jax.device_get`` of a dict moves one RPC round trip per leaf on
+    the remote tunnel (5-50 ms each) — the packed form is one transfer.
+    Images and ids are integer-exact in the position dtype (ids < 2^24 is
+    enforced at slotify). The unitcell is constant for a run and pulled once
+    by the driver, not per event."""
+    dt = state.positions.dtype
+    if use_slot:
+        return jnp.concatenate([
+            state.positions,                        # (d, S)
+            state.images.astype(dt),                # (d, S)
+            state.diameters[None],                  # (1, S)
+            state.nbrs.occupied.astype(dt)[None],   # (1, S)
+            state.ids.astype(dt)[None],             # (1, S)
+        ], axis=0)
+    return jnp.concatenate([
+        state.positions.T,                          # (d, N)
+        state.images.astype(dt).T,                  # (d, N)
+        state.diameters[None],                      # (1, N)
+    ], axis=0)
+
+
+def _unpack_output_rows(rows_dev, dim, use_slot):
+    rows = np.asarray(rows_dev)  # the ONE row transfer of the event
+    out = {"diameters": rows[2 * dim]}
+    if use_slot:
+        # flush() consumes slot rows component-major, like the old dict pull.
+        out["positions"] = rows[0:dim]
+        out["images"] = rows[dim:2 * dim].astype(np.int32)
+        out["occupied"] = rows[2 * dim + 1] != 0
+        out["ids"] = rows[2 * dim + 2].astype(np.int64)
+    else:
+        out["positions"] = rows[0:dim].T
+        out["images"] = rows[dim:2 * dim].T.astype(np.int32)
+    return out
+
+
+# Batched-event advance: scalar-only (thermo) events between two row events
+# are served by ONE jitted call + ONE small transfer for the whole group —
+# a lax.scan over per-event segment lengths, each event's scalars stacked
+# into the (K, 8) result. On the remote tunnel every call/transfer pays the
+# per-RPC floor, so grouping K events cuts the event-loop overhead by ~K.
+# Group sizes are padded to a few buckets so only a handful of programs
+# compile; zero-length pad segments are no-ops (advance(s, 0) == s).
+_BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def _bucket(k):
+    for b in _BATCH_BUCKETS:
+        if k <= b:
+            return b
+    return _BATCH_BUCKETS[-1]
+
+
+def _make_batch_advance(adv, use_slot, is_brownian):
+    """advance_batch(state, lengths (B,), thermo_flags (B,)) ->
+    (state, per-event scalar vectors (B, 8), packed output rows)."""
+
     @jax.jit
-    def advance(state, n_steps):
-        out = adv(state, n_steps)
-        return out, _event_scalars(out)
+    def advance_batch(state, lengths, thermo_flags):
+        def body(s, xs):
+            n_k, is_thermo = xs
+            s = adv(s, n_k)
+            vec = _event_scalars(s)
+            if is_brownian and s.virial_accum is not None:
+                # Reset the virial accumulators after each thermo event
+                # (/root/reference/src/simulation.jl:266) on device — the
+                # host no longer sees intermediate states of a batch.
+                keep = (is_thermo == 0)
+                s = s.replace(
+                    virial_accum=jnp.where(keep, s.virial_accum, 0),
+                    nprom=jnp.where(keep, s.nprom, 0),
+                )
+            return s, vec
 
-    return advance
+        state, vecs = jax.lax.scan(body, state, (lengths, thermo_flags))
+        return state, vecs, _pack_output_rows(state, use_slot)
+
+    return advance_batch
 
 
-def _make_advance(step_fn):
+def _make_fori_advance(step_fn):
     def adv(state, n_steps):
         return jax.lax.fori_loop(0, n_steps, lambda i, s: step_fn(s), state)
 
-    return _with_scalars(adv)
+    return adv
+
+
+# advance_batch functions cached across run_simulation calls: jax.jit keys
+# its trace cache on the function OBJECT, so rebuilding the closure every
+# call re-traces the full fused-step program (~2-3 s per bucket size).
+# Engines/params/ensembles are frozen flax structs of scalars — hashable —
+# so (params, ensemble, engine, flags) identifies the program exactly;
+# anything unhashable (e.g. a user potential carrying arrays) skips the
+# cache and keeps the old rebuild-per-call behavior.
+_ADVANCE_CACHE: dict = {}
+_DEV_ARGS_CACHE: dict = {}
 
 
 def run_simulation(
@@ -205,10 +306,6 @@ def run_simulation(
             raise RuntimeError("cell capacity still overflowing after 8 grows")
 
         state, engine = build_slot(state, engine)
-        advance = _with_scalars(make_slot_advance(params, ensemble, engine,
-                                                  compensated=compensated,
-                                                  hilo=hilo))
-        step_fn = None
     else:
         # Materialise engine state + initial forces (deliberate fix: the
         # reference's first half-kick uses zero forces).
@@ -222,9 +319,33 @@ def run_simulation(
                                              state.unitcell_inv, state.nbrs)
             state = state.replace(forces=f0, energy=e0, virial=w0, nbrs=nbrs)
 
-        step_fn = make_step(params, ensemble, engine, compensated=compensated)
-        advance = _make_advance(step_fn)
+    def build_advance(engine):
+        key = (params, ensemble, engine, compensated, hilo, use_slot,
+               is_brownian)
+        try:
+            cached = _ADVANCE_CACHE.get(key)
+        except TypeError:
+            key, cached = None, None
+        if cached is not None:
+            return cached
+        if use_slot:
+            from mdtpu.integrate.slot_step import make_slot_advance
 
+            fn = _make_batch_advance(
+                make_slot_advance(params, ensemble, engine,
+                                  compensated=compensated, hilo=hilo),
+                True, is_brownian)
+        else:
+            step_fn = make_step(params, ensemble, engine,
+                                compensated=compensated)
+            fn = _make_batch_advance(_make_fori_advance(step_fn), False,
+                                     is_brownian)
+        if key is not None:
+            _ADVANCE_CACHE[key] = fn
+        return fn
+
+    advance = build_advance(engine)
+    unitcell_np = np.asarray(state.unitcell)  # constant for the run
     start_step = int(state.step)
 
     # --- Event schedule (host-side) -------------------------------------
@@ -248,7 +369,34 @@ def run_simulation(
                          if s >= start_step)
     end_step = start_step + total_steps
 
-    pending = None  # (step_label, host-fetch futures) from the previous event
+    row_steps = traj_steps | snap_set
+    checkpoint_steps = set(
+        ev for ev in event_steps
+        if checkpoint_every is not None and ev % checkpoint_every == 0)
+
+    # Group events into batches: consecutive scalar-only (thermo) events are
+    # served by ONE advance_batch call + ONE small transfer for the whole
+    # group (each call/transfer pays the tunnel's per-RPC floor). A batch
+    # closes at any event needing particle rows (trajectory/snapshot), at a
+    # checkpoint event (its exact state must be materialized), or at the
+    # bucket cap.
+    batches = []  # list of [(event_step, n_steps_to_advance), ...]
+    cur = []
+    prev = start_step
+    for ev in event_steps:
+        cur.append((ev, ev - prev + 1))
+        prev = ev + 1
+        if (ev in row_steps or ev in checkpoint_steps
+                or len(cur) == _BATCH_BUCKETS[-1]):
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+    if prev < end_step:
+        # Tail past the last output event: its own batch so overflow
+        # recovery covers it too; end_step is in no output set, so its
+        # pseudo-event writes nothing.
+        batches.append([(end_step, end_step - prev)])
 
     def flush(pending_item):
         if pending_item is None:
@@ -272,7 +420,7 @@ def run_simulation(
             for name in ("positions", "images"):
                 dev[name] = np.asarray(dev[name]).T[occ][order]
             dev["positions"], dev["images"] = _host_wrap(
-                dev["positions"], dev["images"], dev["unitcell"])
+                dev["positions"], dev["images"], unitcell_np)
             dev["diameters"] = np.asarray(dev["diameters"])[occ][order]
         e = float(dev["energy"])
         t = float(dev["temperature"])
@@ -292,84 +440,114 @@ def run_simulation(
             with open(thermo_file, "a") as io:
                 io.write(f"{s} {ener:.6f} {t:.6f} {pressure:.6f}\n")
         if s in traj_steps:
-            traj_writer.write_frame(s, dev["unitcell"], dev["positions"],
+            traj_writer.write_frame(s, unitcell_np, dev["positions"],
                                     dev["images"], dev["diameters"])
         if s in snap_set:
             write_lammps_frame(os.path.join(pathname, f"snapshot.{s}"), s,
-                               dev["unitcell"], dev["positions"], dev["images"],
+                               unitcell_np, dev["positions"], dev["images"],
                                dev["diameters"], mode="w")
 
-    def pull_event(state, vec, ev):
-        """ONE packed scalar transfer per event (``vec`` is the device
-        vector the advance call itself returned — see _event_scalars);
-        particle rows ride along only when a trajectory frame or snapshot
-        is actually written (the row pull is ~240 ms at N=65k on the
-        tunnel)."""
-        vec = np.asarray(vec)
-        host = {"energy": vec[0], "temperature": vec[1], "virial": vec[2],
-                "virial_accum": vec[3], "nprom": vec[4],
-                "overflow": bool(vec[5])}
-        if ev in traj_steps or ev in snap_set:
-            dev = dict(positions=state.positions, images=state.images,
-                       unitcell=state.unitcell, diameters=state.diameters)
-            if use_slot:
-                dev["occupied"] = state.nbrs.occupied
-                dev["ids"] = state.ids
-            host.update(jax.device_get(dev))
-        return host
+    def _dev_args(lengths, flags):
+        # Batch argument device arrays, cached across runs: passing fresh
+        # numpy arrays to a jitted call device_puts them — two more RPC
+        # round trips per batch. The handful of distinct (lengths, flags)
+        # patterns transfer once per process.
+        key = (tuple(lengths), tuple(flags))
+        if key not in _DEV_ARGS_CACHE:
+            _DEV_ARGS_CACHE[key] = (jnp.asarray(lengths), jnp.asarray(flags))
+        return _DEV_ARGS_CACHE[key]
 
-    def run_segment(state, engine, advance, step_fn, n_adv, ev):
-        """Advance ``n_adv`` steps, pull the event data, and recover from
-        engine capacity overflow (the fixed-shape analog of CellListMap's
-        dynamic cell lists).
+    def run_batch(state, engine, advance, batch, on_dispatched=None):
+        """Advance through every event of ``batch`` in ONE jitted call,
+        pull the (K, 8) scalar matrix in ONE transfer (plus the packed row
+        array if the batch ends at a trajectory/snapshot event), and recover
+        from engine capacity overflow (the fixed-shape analog of
+        CellListMap's dynamic cell lists).
 
-        Slot mode: an overflowing rebin scatters rows past cell capacity to
-        the trash column — the particles would be PERMANENTLY lost (position,
-        velocity, identity), silently corrupting the run. So the pre-segment
-        state is kept, and on overflow the segment is restored and re-run
-        with grown capacity; the replay is deterministic (per-step RNG is
-        fold_in(key, step)), so no particle is ever lost and the recovered
-        trajectory is the one an always-large-enough capacity would have
-        produced.
+        Overflow recovery: an overflowing slot rebin scatters rows past
+        cell capacity to the trash column — the particles would be
+        PERMANENTLY lost (position, velocity, identity), silently corrupting
+        the run. So the pre-batch state is kept, and on any overflow the
+        batch is restored and re-run with grown capacity; the replay is
+        deterministic (per-step RNG is fold_in(key, step)), so no particle
+        is ever lost and the recovered trajectory is the one an always-
+        large-enough capacity would have produced. Particle-order engines
+        never drop rows on overflow, but the same restore-and-rerun gives
+        them trajectories free of transiently-degraded forces."""
+        K = len(batch)
+        B = _bucket(K)
+        lengths = np.zeros(B, np.int32)
+        flags = np.zeros(B, np.int32)
+        for i, (ev, n_adv) in enumerate(batch):
+            lengths[i] = n_adv
+            flags[i] = 1 if ev in thermo_steps else 0
+        last_ev = batch[-1][0]
+        want_rows = last_ev in row_steps
+        d_len, d_flags = _dev_args(lengths, flags)
 
-        Particle-order engines (neighbor-list/cell overflow) never drop
-        state rows — forces degrade transiently and recover fully on regrow
-        — so those keep the cheaper grow-and-continue."""
         seg_start = state
-        state, vec = advance(state, n_adv)
-        host = pull_event(state, vec, ev)
-        if not bool(host.get("overflow", False)):
-            return state, engine, advance, step_fn, host
-        if use_slot:
+        state, vecs_dev, rows_dev = advance(state, d_len, d_flags)
+        if on_dispatched is not None:
+            # File writes of the previous batch overlap this batch's device
+            # execution (the dispatch above is async; the np.asarray below
+            # blocks). Pulls stay eager-after-block: overlapping TRANSFERS
+            # with execution is slower on the tunnel (BENCH_NOTES).
+            on_dispatched()
+        vecs = np.asarray(vecs_dev)  # ONE scalar transfer for the batch
+        if bool(vecs[:K, 5].any()):
             import warnings
 
             for _ in range(8):
                 engine = engine.with_grown_capacity()
                 warnings.warn(
-                    f"slot capacity overflow in segment ending step "
-                    f"{int(state.step)}: restoring pre-segment state and "
-                    f"re-running with cell capacity {engine.cell_capacity}")
-                restored = slot_forces(
-                    slotify(unslotify_state(seg_start), engine), engine)
-                if bool(restored.nbrs.overflow):
-                    continue  # initial binning still too tight: grow again
-                advance = _with_scalars(make_slot_advance(
-                    params, ensemble, engine, compensated=compensated,
-                    hilo=hilo))
-                state, vec = advance(restored, n_adv)
-                host = pull_event(state, vec, ev)
-                if not bool(host["overflow"]):
-                    return state, engine, advance, step_fn, host
+                    f"cell capacity overflow in batch ending step {last_ev}: "
+                    f"restoring pre-batch state and re-running with cell "
+                    f"capacity {engine.cell_capacity}")
+                if use_slot:
+                    restored = slot_forces(
+                        slotify(unslotify_state(seg_start), engine), engine)
+                    if bool(restored.nbrs.overflow):
+                        continue  # initial binning still too tight
+                else:
+                    restored = seg_start.replace(nbrs=engine.allocate(
+                        seg_start.positions, seg_start.diameters,
+                        seg_start.unitcell, seg_start.unitcell_inv))
+                advance = build_advance(engine)
+                state, vecs_dev, rows_dev = advance(restored, d_len, d_flags)
+                vecs = np.asarray(vecs_dev)
+                if not bool(vecs[:K, 5].any()):
+                    break
+            else:
+                raise RuntimeError(
+                    "cell capacity still overflowing after 8 grows")
+
+        bad = np.flatnonzero(vecs[:K, 6])
+        if bad.size:
             raise RuntimeError(
-                "cell capacity still overflowing after 8 grows")
-        engine = engine.with_grown_capacity()
-        nbrs = engine.allocate(state.positions, state.diameters,
-                               state.unitcell, state.unitcell_inv)
-        state = state.replace(nbrs=nbrs)
-        step_fn = make_step(params, ensemble, engine, compensated=compensated)
-        advance = _make_advance(step_fn)
-        state, vec = advance(state, 0)
-        return state, engine, advance, step_fn, pull_event(state, vec, ev)
+                f"simulation diverged (non-finite positions) at or before "
+                f"step {batch[int(bad[0])][0]} — the integrator left its "
+                f"stability region. For Brownian/overdamped runs reduce dt "
+                f"(steep potentials need max|f|*dt/kT well below the core "
+                f"scale); for MD check the starting configuration for "
+                f"overlaps (minimize first) or use dtype=float64.")
+        if use_slot:
+            lost = np.flatnonzero(vecs[:K, 7] != n)
+            if lost.size:
+                raise RuntimeError(
+                    f"slot state holds {int(vecs[int(lost[0]), 7])} of {n} "
+                    f"particles at step {batch[int(lost[0])][0]} — capacity "
+                    f"overflow recovery failed")
+
+        outputs = []
+        for i, (ev, _) in enumerate(batch):
+            outputs.append((ev, {
+                "energy": vecs[i, 0], "temperature": vecs[i, 1],
+                "virial": vecs[i, 2], "virial_accum": vecs[i, 3],
+                "nprom": vecs[i, 4]}))
+        if want_rows:
+            outputs[-1][1].update(
+                _unpack_output_rows(rows_dev, dim, use_slot))
+        return state, engine, advance, outputs
 
     meter = None
     if perf_log:
@@ -377,44 +555,24 @@ def run_simulation(
 
         meter = StepRateMeter(os.path.join(pathname, "perf.txt"))
 
-    current = start_step
-    for ev in event_steps:
-        # Execute through loop iteration `ev` (i.e. ev - current + 1 steps),
-        # pulling the event data in ONE eager device_get (measured faster
-        # than overlapping the pull with the next segment's execution on
-        # the remote tunnel — transfers contend with the running program's
-        # RPC stream).
-        n_adv = ev - current + 1
-        state, engine, advance, step_fn, host = run_segment(
-            state, engine, advance, step_fn, n_adv, ev)
-        current = ev + 1
+    pending = []  # previous batch's (step_label, host data), not yet written
+    for batch in batches:
+        state, engine, advance, outputs = run_batch(
+            state, engine, advance, batch,
+            on_dispatched=lambda p=pending: [flush(item) for item in p])
+        last_ev = batch[-1][0]
         if meter is not None:
-            meter.tick(ev, n_adv)
-        if is_brownian and ev in thermo_steps:
-            # Reset accumulators after output
-            # (/root/reference/src/simulation.jl:266).
-            state = state.replace(
-                virial_accum=jnp.zeros_like(state.virial_accum),
-                nprom=jnp.zeros_like(state.nprom),
-            )
-        flush(pending)
-        pending = (ev, host)
-        if checkpoint_every is not None and ev % checkpoint_every == 0:
+            meter.tick(last_ev, sum(n_adv for _, n_adv in batch))
+        pending = outputs
+        if last_ev in checkpoint_steps:
             from mdtpu.io.checkpoint import save_checkpoint
 
             ck_state = unslotify_state(state) if use_slot else state
             save_checkpoint(ck_state,
-                            os.path.join(pathname, f"checkpoint.{ev}.npz"))
+                            os.path.join(pathname, f"checkpoint.{last_ev}.npz"))
 
-    if current < end_step:
-        # The tail (steps past the last output event) runs through
-        # run_segment too: a slot-capacity overflow here would otherwise
-        # silently drop particles from final.xyz and the returned state.
-        # end_step is never in the event sets, so only scalars are pulled
-        # and the host dict is discarded.
-        state, engine, advance, step_fn, _ = run_segment(
-            state, engine, advance, step_fn, end_step - current, end_step)
-    flush(pending)
+    for item in pending:
+        flush(item)
     traj_writer.close()
 
     if use_slot:

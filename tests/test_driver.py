@@ -70,6 +70,9 @@ def test_run_simulation_nve_and_temperature_sane(small_system):
 
 def test_run_simulation_brownian(small_system):
     state, params, path = small_system
+    # Euler–Maruyama needs a much smaller dt than MD on the steep pseudo-HS
+    # core (measured stable <= 2e-5; the driver raises on divergence).
+    params = params.replace(dt=1e-5)
     final = run_simulation(state, params, Brownian(1.2), total_steps=40,
                            frequency=20, pathname=path)
     lines = open(os.path.join(path, "thermo.txt")).read().splitlines()[1:]
@@ -401,6 +404,36 @@ def test_slot_overflow_restores_and_reruns_without_particle_loss(tmp_path):
     assert float(np.abs(v_out).max()) < 1e3
     rows = np.loadtxt(os.path.join(tmp_path, "tight", "thermo.txt"))
     assert np.isfinite(rows).all()
+
+
+def test_driver_raises_on_divergence(tmp_path):
+    """A diverged run must RAISE, not keep writing plausible-looking rows.
+    Beyond the cutoff every pair contributes exact zeros, so non-finite
+    positions read as energy 0.0 and pressure rho*kT — the round-2 Brownian
+    example silently wrote 19,500 such garbage rows. Euler–Maruyama on the
+    pseudo-HS core is divergent at dt = 1e-4 (measured stable <= 2e-5)."""
+    pot = PseudoHS()
+    pb = Parameters(density=0.5, n_particles=128, dt=1e-4, potential=pot)
+    state = initialize_state(pb, str(tmp_path), dimension=3, cutoff=1.5,
+                             seed=0, dtype=jnp.float32)
+    with pytest.raises(RuntimeError, match="diverged"):
+        run_simulation(state, pb, Brownian(1.0), 600, 100,
+                       str(tmp_path / "bad"))
+
+
+def test_brownian_stable_dt_writes_real_energies(tmp_path):
+    """At a stable dt the Brownian driver writes finite, NON-ZERO energies
+    (regression: a divergence upstream made every thermo row '0.000000')."""
+    pot = PseudoHS()
+    pb = Parameters(density=0.5, n_particles=128, dt=1e-5, potential=pot)
+    state = initialize_state(pb, str(tmp_path), dimension=3, cutoff=1.5,
+                             seed=0, dtype=jnp.float32)
+    out = run_simulation(state, pb, Brownian(1.0), 400, 100,
+                         str(tmp_path / "ok"))
+    assert bool(jnp.isfinite(out.positions).all())
+    rows = np.loadtxt(os.path.join(tmp_path, "ok", "thermo.txt"))
+    assert np.isfinite(rows).all()
+    assert (rows[1:, 1] > 0).all()  # energies after step 0 are real
 
 
 def test_slot_overflow_in_tail_segment_recovers(tmp_path):
