@@ -62,6 +62,8 @@ def run_simulation_sharded(
     log_times: bool = False,
     checkpoint_every: Optional[int] = None,
     precision: str = "auto",
+    traj_frequency: Optional[int] = None,
+    perf_log: bool = False,
 ) -> SimulationState:
     """Run ``total_steps`` over the mesh; returns the final state in
     ordinary (N, d) particle order (same contract as ``run_simulation``).
@@ -94,7 +96,8 @@ def run_simulation_sharded(
             mesh=mesh, engine=engine, compensated=compensated,
             traj_name=traj_name, thermo_name=thermo_name, compress=compress,
             log_times=log_times, checkpoint_every=checkpoint_every,
-            precision=precision)
+            precision=precision, traj_frequency=traj_frequency,
+            perf_log=perf_log)
 
     trajectory_file, thermo_file = open_files(pathname, traj_name,
                                               thermo_name)
@@ -261,6 +264,9 @@ def valid_rows(state: SimulationState, engine: HaloCellGridEngine):
     return np.asarray(state.nbrs.addr) < trash
 
 
+_SHARDED_ADVANCE_CACHE: dict = {}
+
+
 def _run_sharded_slot(
     state: SimulationState,
     params: Parameters,
@@ -278,19 +284,22 @@ def _run_sharded_slot(
     log_times: bool = False,
     checkpoint_every: Optional[int] = None,
     precision: str = "auto",
+    traj_frequency: Optional[int] = None,
+    perf_log: bool = False,
 ) -> SimulationState:
-    """Sharded driver over the slot-layout halo engine: the event loop of
-    the single-device driver (thermo/trajectory/snapshots/checkpoints, lean
-    scalar pulls, restore-and-rerun overflow recovery) with the sharded
+    """Sharded driver over the slot-layout halo engine: the SAME event loop
+    as the single-device driver (mdtpu.sim.driver._drive_events — batched
+    thermo events in one scanned call, packed row pulls, restore-and-rerun
+    overflow recovery, divergence/particle-loss raises), with the sharded
     slot advance inside. Migration is on-device (every rebin), so there is
-    NO host resharding cadence at all."""
-    import warnings
-
+    NO host resharding cadence at all; the per-shard overflow flags are
+    max-reduced into the batch scalar vector on device."""
     from mdtpu.core.types import NVE
-    from mdtpu.integrate.slot_step import _host_wrap
     from mdtpu.parallel.halo_slot import (build_sharded_slot_state,
                                           make_sharded_slot_advance,
                                           unshard_slot_state)
+    from mdtpu.sim.driver import (_drive_events, _event_schedule,
+                                  _make_batch_advance)
 
     n = state.n_particles
     if precision not in ("auto", "f32x2", "plain"):
@@ -321,114 +330,72 @@ def _run_sharded_slot(
 
     if state.nbrs is not None:
         state = state.replace(nbrs=None)
-    particle_state = state
 
-    def build(particle_state, engine):
+    def build_sharded(particle_state, engine):
+        """Global slotify + shard, growing capacity until the binning fits
+        (build_sharded_slot_state raises ValueError on overflow)."""
         for _ in range(8):
             try:
-                sh = build_sharded_slot_state(particle_state, engine, mesh)
+                return build_sharded_slot_state(particle_state, engine,
+                                                mesh), engine
             except ValueError:
                 engine = engine.with_grown_capacity()
-                continue
-            adv = make_sharded_slot_advance(params, ensemble, engine, mesh,
-                                            sh, compensated=compensated,
-                                            hilo=hilo)
-            return sh, adv, engine
         raise RuntimeError("cell capacity still overflowing after 8 grows")
 
-    sh, advance, engine = build(particle_state, engine)
+    sh, engine = build_sharded(state, engine)
+    spec_state = sh  # pytree structure only (slot_state_specs); any rebuild
+    # after a capacity grow has the same structure.
+
+    def build_advance(engine):
+        key = (params, ensemble, engine, mesh, compensated, hilo,
+               is_brownian)
+        try:
+            cached = _SHARDED_ADVANCE_CACHE.get(key)
+        except TypeError:
+            key, cached = None, None
+        if cached is not None:
+            return cached
+        fn = _make_batch_advance(
+            make_sharded_slot_advance(params, ensemble, engine, mesh,
+                                      spec_state, compensated=compensated,
+                                      hilo=hilo),
+            True, is_brownian)
+        if key is not None:
+            _SHARDED_ADVANCE_CACHE[key] = fn
+        return fn
+
+    def grow_engine(engine):
+        return engine.replace(
+            cell_capacity=int(engine.cell_capacity * 1.4 + 4),
+            migration_capacity=engine.migration_capacity * 2)
+
+    def restore(seg_start, engine):
+        try:
+            return build_sharded_slot_state(
+                unshard_slot_state(seg_start, engine), engine, mesh)
+        except ValueError:
+            return None  # initial binning still too tight: grow again
 
     start_step = int(sh.step)
     end_step = start_step + total_steps
-    snap_set = set()
-    if log_times:
-        from mdtpu.io.logtimes import generate_log_times
+    thermo_steps, traj_steps, snap_set = _event_schedule(
+        start_step, total_steps, frequency, traj_frequency, log_times,
+        pathname)
 
-        snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
-        snap_set = set([0] + [s for s in snaps if s < end_step])
-    thermo_steps = set(range(start_step, end_step, frequency))
-    events = sorted(s for s in (thermo_steps | snap_set) if s >= start_step)
+    sh, engine, _ = _drive_events(
+        sh, engine, build_advance(engine),
+        build_advance=build_advance,
+        grow_engine=grow_engine,
+        restore=restore,
+        to_particle_state=lambda s: unshard_slot_state(s, engine),
+        use_slot=True, is_brownian=is_brownian, ensemble=ensemble,
+        n=n, dim=dim, volume=volume, density=density,
+        e_lrc=e_lrc, p_lrc=p_lrc,
+        start_step=start_step, end_step=end_step,
+        thermo_steps=thermo_steps, traj_steps=traj_steps, snap_set=snap_set,
+        checkpoint_every=checkpoint_every, pathname=pathname,
+        thermo_file=thermo_file, traj_writer=traj_writer, perf_log=perf_log)
 
-    def run_segment(sh, engine, advance, n_adv):
-        """Advance with restore-and-rerun on overflow (cell capacity or
-        migration buffer), mirroring the single-device slot driver."""
-        seg_start = sh
-        sh = advance(sh, n_adv)
-        if not bool(np.asarray(sh.nbrs.overflow).any()):
-            return sh, engine, advance
-        for _ in range(8):
-            engine = engine.replace(
-                cell_capacity=int(engine.cell_capacity * 1.4 + 4),
-                migration_capacity=engine.migration_capacity * 2)
-            warnings.warn(
-                f"sharded slot capacity/migration overflow in segment "
-                f"ending step {int(sh.step)}: restoring and re-running "
-                f"with capacity {engine.cell_capacity}, migration buffer "
-                f"{engine.migration_capacity}")
-            restored_particle = unshard_slot_state(seg_start, engine)
-            sh2, advance, engine = build(restored_particle, engine)
-            sh2 = advance(sh2, n_adv)
-            if not bool(np.asarray(sh2.nbrs.overflow).any()):
-                return sh2, engine, advance
-            sh = sh2
-        raise RuntimeError("sharded capacity still overflowing after grows")
-
-    def host_rows(sh):
-        occ = np.asarray(sh.nbrs.occupied)
-        if int(occ.sum()) != n:
-            raise RuntimeError(
-                f"sharded slot state holds {int(occ.sum())} of {n} "
-                f"particles — overflow recovery failed")
-        ids = np.asarray(sh.ids)[occ]
-        order = np.argsort(ids)
-        pos = np.asarray(sh.positions).T[occ][order]
-        img = np.asarray(sh.images).T[occ][order]
-        pos, img = _host_wrap(pos, img, np.asarray(sh.unitcell))
-        diam = np.asarray(sh.diameters)[occ][order]
-        return pos, img, diam
-
-    current = start_step
-    for ev in events:
-        n_adv = ev - current + 1
-        sh, engine, advance = run_segment(sh, engine, advance, n_adv)
-        current = ev + 1
-        is_thermo = ev in thermo_steps
-        e = float(sh.energy)
-        t = float(sh.temperature)
-        if is_thermo:
-            if is_brownian:
-                nprom = max(int(sh.nprom), 1)
-                ener = e / n
-                pressure = (float(sh.virial_accum) / (dim * nprom * volume)
-                            + density * float(ensemble.ktemp))
-                t = float(ensemble.ktemp)
-                sh = sh.replace(
-                    virial_accum=jnp.zeros_like(sh.virial_accum),
-                    nprom=jnp.zeros_like(sh.nprom))
-            else:
-                ener = (e + e_lrc) / n
-                pressure = (float(sh.virial) / (dim * volume)
-                            + density * t + p_lrc)
-            with open(thermo_file, "a") as io:
-                io.write(f"{ev} {ener:.6f} {t:.6f} {pressure:.6f}\n")
-        if is_thermo or ev in snap_set:
-            pos, img, diam = host_rows(sh)
-            cell_np = np.asarray(sh.unitcell)
-            if is_thermo:
-                traj_writer.write_frame(ev, cell_np, pos, img, diam)
-            if ev in snap_set:
-                write_lammps_frame(os.path.join(pathname, f"snapshot.{ev}"),
-                                   ev, cell_np, pos, img, diam, mode="w")
-        if checkpoint_every is not None and ev % checkpoint_every == 0:
-            from mdtpu.io.checkpoint import save_checkpoint
-
-            save_checkpoint(unshard_slot_state(sh, engine),
-                            os.path.join(pathname, f"checkpoint.{ev}.npz"))
-
-    if current < end_step:
-        sh, engine, advance = run_segment(sh, engine, advance,
-                                          end_step - current)
-    traj_writer.close()
     final = unshard_slot_state(sh, engine)
     finalize_simulation(trajectory_file, pathname, end_step, final,
                         compress=False)

@@ -82,7 +82,10 @@ def _event_scalars(state):
         any unflagged particle loss at EVERY event, not just at row pulls."""
     d = state.energy.dtype
     nbrs = state.nbrs
-    ovf = (nbrs.overflow.astype(d)
+    # .max(): sharded slot states carry a PER-SHARD overflow flag
+    # (halo_slot.slot_state_specs) — reduce it to one scalar here so the
+    # same vector layout serves the single-device and sharded drivers.
+    ovf = (nbrs.overflow.astype(d).max()
            if nbrs is not None and hasattr(nbrs, "overflow")
            else jnp.zeros((), d))
     va = (state.virial_accum if state.virial_accum is not None
@@ -196,6 +199,262 @@ def _make_fori_advance(step_fn):
 # cache and keeps the old rebuild-per-call behavior.
 _ADVANCE_CACHE: dict = {}
 _DEV_ARGS_CACHE: dict = {}
+
+
+def _event_schedule(start_step, total_steps, frequency, traj_frequency,
+                    log_times, pathname):
+    """Host-side output schedule: thermo/trajectory cadences plus optional
+    log-spaced snapshot steps (side-effect file new-log-times.txt, matching
+    /root/reference/src/io.jl:17-36). Events strictly below start_step
+    (possible with log_times on a resumed state: snap_set always contains 0
+    plus log-times below start_step) are dropped — they would rewind the
+    loop and re-execute steps with wrong labels."""
+    end_step = start_step + total_steps
+    snap_set = set()
+    if log_times:
+        snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
+        snap_set = set([0] + [s for s in snaps if s < end_step])
+    thermo_steps = set(s for s in range(start_step, end_step)
+                       if s % frequency == 0)
+    if traj_frequency is None:
+        traj_frequency = frequency
+    traj_steps = set(s for s in range(start_step, end_step)
+                     if s % traj_frequency == 0)
+    return thermo_steps, traj_steps, snap_set
+
+
+def _capacity_msg(engine):
+    msg = f"cell capacity {engine.cell_capacity}"
+    mc = getattr(engine, "migration_capacity", None)
+    if mc is not None:
+        msg += f", migration buffer {mc}"
+    return msg
+
+
+def _drive_events(state, engine, advance, *,
+                  build_advance, grow_engine, restore, to_particle_state,
+                  use_slot, is_brownian, ensemble, n, dim, volume, density,
+                  e_lrc, p_lrc, start_step, end_step, thermo_steps,
+                  traj_steps, snap_set, checkpoint_every, pathname,
+                  thermo_file, traj_writer, perf_log=False):
+    """The event loop shared by the single-device and sharded drivers:
+    batch the output schedule, advance through each batch in ONE jitted
+    call, pull its scalars in ONE transfer, write files while the next
+    batch executes, recover from capacity overflow by restore-and-rerun,
+    and raise on divergence or particle loss.
+
+    Engine-specific behavior enters through three callbacks:
+      * ``grow_engine(engine)`` — a larger-capacity engine;
+      * ``restore(seg_start, engine)`` — rebuild the pre-batch state for the
+        grown engine (None = capacity still too small, grow again);
+      * ``to_particle_state(state)`` — ordinary (N, d) particle order for
+        checkpoints.
+    ``build_advance(engine)`` rebuilds the batch-advance after a grow.
+
+    Returns ``(state, engine, advance)``; the caller finalizes."""
+    unitcell_np = np.asarray(state.unitcell)  # constant for the run
+
+    event_steps = sorted(s for s in (thermo_steps | traj_steps | snap_set)
+                         if s >= start_step)
+    row_steps = traj_steps | snap_set
+    checkpoint_steps = set(
+        ev for ev in event_steps
+        if checkpoint_every is not None and ev % checkpoint_every == 0)
+
+    # Group events into batches: consecutive scalar-only (thermo) events are
+    # served by ONE advance_batch call + ONE small transfer for the whole
+    # group (each call/transfer pays the tunnel's per-RPC floor). A batch
+    # closes at any event needing particle rows (trajectory/snapshot), at a
+    # checkpoint event (its exact state must be materialized), or at the
+    # bucket cap.
+    batches = []  # list of [(event_step, n_steps_to_advance), ...]
+    cur = []
+    prev = start_step
+    for ev in event_steps:
+        cur.append((ev, ev - prev + 1))
+        prev = ev + 1
+        if (ev in row_steps or ev in checkpoint_steps
+                or len(cur) == _BATCH_BUCKETS[-1]):
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+    if prev < end_step:
+        # Tail past the last output event: its own batch so overflow
+        # recovery covers it too; end_step is in no output set, so its
+        # pseudo-event writes nothing.
+        batches.append([(end_step, end_step - prev)])
+
+    def flush(pending_item):
+        if pending_item is None:
+            return
+        s, dev = pending_item
+        has_rows = "positions" in dev
+        if use_slot and has_rows:
+            # Compact real rows, restore original particle order, and fold
+            # the deferred-wrap residual drift for in-box output rows.
+            from mdtpu.integrate.slot_step import _host_wrap
+
+            occ = np.asarray(dev["occupied"])
+            if int(occ.sum()) != n:
+                # Backstop: the overflow flag + restore-and-rerun should make
+                # this unreachable; losing rows silently corrupts the physics.
+                raise RuntimeError(
+                    f"slot state holds {int(occ.sum())} of {n} particles at "
+                    f"step {s} — capacity overflow recovery failed")
+            order = np.argsort(np.asarray(dev["ids"])[occ])
+            dev = dict(dev)
+            for name in ("positions", "images"):
+                dev[name] = np.asarray(dev[name]).T[occ][order]
+            dev["positions"], dev["images"] = _host_wrap(
+                dev["positions"], dev["images"], unitcell_np)
+            dev["diameters"] = np.asarray(dev["diameters"])[occ][order]
+        e = float(dev["energy"])
+        t = float(dev["temperature"])
+        if is_brownian:
+            # /root/reference/src/simulation.jl:259-266 — per-particle energy
+            # without LRC, virial averaged over the 10-step samples.
+            nprom = max(int(dev["nprom"]), 1)
+            ener = e / n
+            pressure = float(dev["virial_accum"]) / (dim * nprom * volume) \
+                + density * float(ensemble.ktemp)
+            t = float(ensemble.ktemp)
+        else:
+            # /root/reference/src/simulation.jl:118-131
+            ener = (e + e_lrc) / n
+            pressure = float(dev["virial"]) / (dim * volume) + density * t + p_lrc
+        if s in thermo_steps:
+            with open(thermo_file, "a") as io:
+                io.write(f"{s} {ener:.6f} {t:.6f} {pressure:.6f}\n")
+        if s in traj_steps:
+            traj_writer.write_frame(s, unitcell_np, dev["positions"],
+                                    dev["images"], dev["diameters"])
+        if s in snap_set:
+            write_lammps_frame(os.path.join(pathname, f"snapshot.{s}"), s,
+                               unitcell_np, dev["positions"], dev["images"],
+                               dev["diameters"], mode="w")
+
+    def _dev_args(lengths, flags):
+        # Batch argument device arrays, cached across runs: passing fresh
+        # numpy arrays to a jitted call device_puts them — two more RPC
+        # round trips per batch. The handful of distinct (lengths, flags)
+        # patterns transfer once per process.
+        key = (tuple(lengths), tuple(flags))
+        if key not in _DEV_ARGS_CACHE:
+            _DEV_ARGS_CACHE[key] = (jnp.asarray(lengths), jnp.asarray(flags))
+        return _DEV_ARGS_CACHE[key]
+
+    def run_batch(state, engine, advance, batch, on_dispatched=None):
+        """Advance through every event of ``batch`` in ONE jitted call,
+        pull the (K, 8) scalar matrix in ONE transfer (plus the packed row
+        array if the batch ends at a trajectory/snapshot event), and recover
+        from engine capacity overflow (the fixed-shape analog of
+        CellListMap's dynamic cell lists).
+
+        Overflow recovery: an overflowing slot rebin scatters rows past
+        cell capacity to the trash column — the particles would be
+        PERMANENTLY lost (position, velocity, identity), silently corrupting
+        the run. So the pre-batch state is kept, and on any overflow the
+        batch is restored and re-run with grown capacity; the replay is
+        deterministic (per-step RNG is fold_in(key, step)), so no particle
+        is ever lost and the recovered trajectory is the one an always-
+        large-enough capacity would have produced. Particle-order engines
+        never drop rows on overflow, but the same restore-and-rerun gives
+        them trajectories free of transiently-degraded forces."""
+        K = len(batch)
+        B = _bucket(K)
+        lengths = np.zeros(B, np.int32)
+        flags = np.zeros(B, np.int32)
+        for i, (ev, n_adv) in enumerate(batch):
+            lengths[i] = n_adv
+            flags[i] = 1 if ev in thermo_steps else 0
+        last_ev = batch[-1][0]
+        want_rows = last_ev in row_steps
+        d_len, d_flags = _dev_args(lengths, flags)
+
+        seg_start = state
+        state, vecs_dev, rows_dev = advance(state, d_len, d_flags)
+        if on_dispatched is not None:
+            # File writes of the previous batch overlap this batch's device
+            # execution (the dispatch above is async; the np.asarray below
+            # blocks). Pulls stay eager-after-block: overlapping TRANSFERS
+            # with execution is slower on the tunnel (BENCH_NOTES).
+            on_dispatched()
+        vecs = np.asarray(vecs_dev)  # ONE scalar transfer for the batch
+        if bool(vecs[:K, 5].any()):
+            import warnings
+
+            for _ in range(8):
+                engine = grow_engine(engine)
+                warnings.warn(
+                    f"engine capacity overflow in batch ending step "
+                    f"{last_ev}: restoring pre-batch state and re-running "
+                    f"with {_capacity_msg(engine)}")
+                restored = restore(seg_start, engine)
+                if restored is None:
+                    continue  # initial binning still too tight: grow again
+                advance = build_advance(engine)
+                state, vecs_dev, rows_dev = advance(restored, d_len, d_flags)
+                vecs = np.asarray(vecs_dev)
+                if not bool(vecs[:K, 5].any()):
+                    break
+            else:
+                raise RuntimeError(
+                    "engine capacity still overflowing after 8 grows")
+
+        bad = np.flatnonzero(vecs[:K, 6])
+        if bad.size:
+            raise RuntimeError(
+                f"simulation diverged (non-finite positions) at or before "
+                f"step {batch[int(bad[0])][0]} — the integrator left its "
+                f"stability region. For Brownian/overdamped runs reduce dt "
+                f"(steep potentials need max|f|*dt/kT well below the core "
+                f"scale); for MD check the starting configuration for "
+                f"overlaps (minimize first) or use dtype=float64.")
+        if use_slot:
+            lost = np.flatnonzero(vecs[:K, 7] != n)
+            if lost.size:
+                raise RuntimeError(
+                    f"slot state holds {int(vecs[int(lost[0]), 7])} of {n} "
+                    f"particles at step {batch[int(lost[0])][0]} — capacity "
+                    f"overflow recovery failed")
+
+        outputs = []
+        for i, (ev, _) in enumerate(batch):
+            outputs.append((ev, {
+                "energy": vecs[i, 0], "temperature": vecs[i, 1],
+                "virial": vecs[i, 2], "virial_accum": vecs[i, 3],
+                "nprom": vecs[i, 4]}))
+        if want_rows:
+            outputs[-1][1].update(
+                _unpack_output_rows(rows_dev, dim, use_slot))
+        return state, engine, advance, outputs
+
+    meter = None
+    if perf_log:
+        from mdtpu.utils.profiling import StepRateMeter
+
+        meter = StepRateMeter(os.path.join(pathname, "perf.txt"))
+
+    pending = []  # previous batch's (step_label, host data), not yet written
+    for batch in batches:
+        state, engine, advance, outputs = run_batch(
+            state, engine, advance, batch,
+            on_dispatched=lambda p=pending: [flush(item) for item in p])
+        last_ev = batch[-1][0]
+        if meter is not None:
+            meter.tick(last_ev, sum(n_adv for _, n_adv in batch))
+        pending = outputs
+        if last_ev in checkpoint_steps:
+            from mdtpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(to_particle_state(state),
+                            os.path.join(pathname, f"checkpoint.{last_ev}.npz"))
+
+    for item in pending:
+        flush(item)
+    traj_writer.close()
+    return state, engine, advance
 
 
 def run_simulation(
@@ -345,235 +604,36 @@ def run_simulation(
         return fn
 
     advance = build_advance(engine)
-    unitcell_np = np.asarray(state.unitcell)  # constant for the run
     start_step = int(state.step)
-
-    # --- Event schedule (host-side) -------------------------------------
-    snap_set = set()
-    if log_times:
-        snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
-        snap_set = set([0] + [s for s in snaps if s < start_step + total_steps])
-    thermo_steps = set(
-        s for s in range(start_step, start_step + total_steps) if s % frequency == 0
-    )
-    if traj_frequency is None:
-        traj_frequency = frequency
-    traj_steps = set(
-        s for s in range(start_step, start_step + total_steps)
-        if s % traj_frequency == 0
-    )
-    # Events strictly below start_step (possible with log_times on a resumed
-    # state: snap_set always contains 0 plus log-times below start_step)
-    # would rewind `current` and re-execute steps with wrong labels.
-    event_steps = sorted(s for s in (thermo_steps | traj_steps | snap_set)
-                         if s >= start_step)
     end_step = start_step + total_steps
+    thermo_steps, traj_steps, snap_set = _event_schedule(
+        start_step, total_steps, frequency, traj_frequency, log_times,
+        pathname)
 
-    row_steps = traj_steps | snap_set
-    checkpoint_steps = set(
-        ev for ev in event_steps
-        if checkpoint_every is not None and ev % checkpoint_every == 0)
-
-    # Group events into batches: consecutive scalar-only (thermo) events are
-    # served by ONE advance_batch call + ONE small transfer for the whole
-    # group (each call/transfer pays the tunnel's per-RPC floor). A batch
-    # closes at any event needing particle rows (trajectory/snapshot), at a
-    # checkpoint event (its exact state must be materialized), or at the
-    # bucket cap.
-    batches = []  # list of [(event_step, n_steps_to_advance), ...]
-    cur = []
-    prev = start_step
-    for ev in event_steps:
-        cur.append((ev, ev - prev + 1))
-        prev = ev + 1
-        if (ev in row_steps or ev in checkpoint_steps
-                or len(cur) == _BATCH_BUCKETS[-1]):
-            batches.append(cur)
-            cur = []
-    if cur:
-        batches.append(cur)
-    if prev < end_step:
-        # Tail past the last output event: its own batch so overflow
-        # recovery covers it too; end_step is in no output set, so its
-        # pseudo-event writes nothing.
-        batches.append([(end_step, end_step - prev)])
-
-    def flush(pending_item):
-        if pending_item is None:
-            return
-        s, dev = pending_item
-        has_rows = "positions" in dev
-        if use_slot and has_rows:
-            # Compact real rows, restore original particle order, and fold
-            # the deferred-wrap residual drift for in-box output rows.
-            from mdtpu.integrate.slot_step import _host_wrap
-
-            occ = np.asarray(dev["occupied"])
-            if int(occ.sum()) != n:
-                # Backstop: the overflow flag + restore-and-rerun should make
-                # this unreachable; losing rows silently corrupts the physics.
-                raise RuntimeError(
-                    f"slot state holds {int(occ.sum())} of {n} particles at "
-                    f"step {s} — capacity overflow recovery failed")
-            order = np.argsort(np.asarray(dev["ids"])[occ])
-            dev = dict(dev)
-            for name in ("positions", "images"):
-                dev[name] = np.asarray(dev[name]).T[occ][order]
-            dev["positions"], dev["images"] = _host_wrap(
-                dev["positions"], dev["images"], unitcell_np)
-            dev["diameters"] = np.asarray(dev["diameters"])[occ][order]
-        e = float(dev["energy"])
-        t = float(dev["temperature"])
-        if is_brownian:
-            # /root/reference/src/simulation.jl:259-266 — per-particle energy
-            # without LRC, virial averaged over the 10-step samples.
-            nprom = max(int(dev["nprom"]), 1)
-            ener = e / n
-            pressure = float(dev["virial_accum"]) / (dim * nprom * volume) \
-                + density * float(ensemble.ktemp)
-            t = float(ensemble.ktemp)
-        else:
-            # /root/reference/src/simulation.jl:118-131
-            ener = (e + e_lrc) / n
-            pressure = float(dev["virial"]) / (dim * volume) + density * t + p_lrc
-        if s in thermo_steps:
-            with open(thermo_file, "a") as io:
-                io.write(f"{s} {ener:.6f} {t:.6f} {pressure:.6f}\n")
-        if s in traj_steps:
-            traj_writer.write_frame(s, unitcell_np, dev["positions"],
-                                    dev["images"], dev["diameters"])
-        if s in snap_set:
-            write_lammps_frame(os.path.join(pathname, f"snapshot.{s}"), s,
-                               unitcell_np, dev["positions"], dev["images"],
-                               dev["diameters"], mode="w")
-
-    def _dev_args(lengths, flags):
-        # Batch argument device arrays, cached across runs: passing fresh
-        # numpy arrays to a jitted call device_puts them — two more RPC
-        # round trips per batch. The handful of distinct (lengths, flags)
-        # patterns transfer once per process.
-        key = (tuple(lengths), tuple(flags))
-        if key not in _DEV_ARGS_CACHE:
-            _DEV_ARGS_CACHE[key] = (jnp.asarray(lengths), jnp.asarray(flags))
-        return _DEV_ARGS_CACHE[key]
-
-    def run_batch(state, engine, advance, batch, on_dispatched=None):
-        """Advance through every event of ``batch`` in ONE jitted call,
-        pull the (K, 8) scalar matrix in ONE transfer (plus the packed row
-        array if the batch ends at a trajectory/snapshot event), and recover
-        from engine capacity overflow (the fixed-shape analog of
-        CellListMap's dynamic cell lists).
-
-        Overflow recovery: an overflowing slot rebin scatters rows past
-        cell capacity to the trash column — the particles would be
-        PERMANENTLY lost (position, velocity, identity), silently corrupting
-        the run. So the pre-batch state is kept, and on any overflow the
-        batch is restored and re-run with grown capacity; the replay is
-        deterministic (per-step RNG is fold_in(key, step)), so no particle
-        is ever lost and the recovered trajectory is the one an always-
-        large-enough capacity would have produced. Particle-order engines
-        never drop rows on overflow, but the same restore-and-rerun gives
-        them trajectories free of transiently-degraded forces."""
-        K = len(batch)
-        B = _bucket(K)
-        lengths = np.zeros(B, np.int32)
-        flags = np.zeros(B, np.int32)
-        for i, (ev, n_adv) in enumerate(batch):
-            lengths[i] = n_adv
-            flags[i] = 1 if ev in thermo_steps else 0
-        last_ev = batch[-1][0]
-        want_rows = last_ev in row_steps
-        d_len, d_flags = _dev_args(lengths, flags)
-
-        seg_start = state
-        state, vecs_dev, rows_dev = advance(state, d_len, d_flags)
-        if on_dispatched is not None:
-            # File writes of the previous batch overlap this batch's device
-            # execution (the dispatch above is async; the np.asarray below
-            # blocks). Pulls stay eager-after-block: overlapping TRANSFERS
-            # with execution is slower on the tunnel (BENCH_NOTES).
-            on_dispatched()
-        vecs = np.asarray(vecs_dev)  # ONE scalar transfer for the batch
-        if bool(vecs[:K, 5].any()):
-            import warnings
-
-            for _ in range(8):
-                engine = engine.with_grown_capacity()
-                warnings.warn(
-                    f"cell capacity overflow in batch ending step {last_ev}: "
-                    f"restoring pre-batch state and re-running with cell "
-                    f"capacity {engine.cell_capacity}")
-                if use_slot:
-                    restored = slot_forces(
-                        slotify(unslotify_state(seg_start), engine), engine)
-                    if bool(restored.nbrs.overflow):
-                        continue  # initial binning still too tight
-                else:
-                    restored = seg_start.replace(nbrs=engine.allocate(
-                        seg_start.positions, seg_start.diameters,
-                        seg_start.unitcell, seg_start.unitcell_inv))
-                advance = build_advance(engine)
-                state, vecs_dev, rows_dev = advance(restored, d_len, d_flags)
-                vecs = np.asarray(vecs_dev)
-                if not bool(vecs[:K, 5].any()):
-                    break
-            else:
-                raise RuntimeError(
-                    "cell capacity still overflowing after 8 grows")
-
-        bad = np.flatnonzero(vecs[:K, 6])
-        if bad.size:
-            raise RuntimeError(
-                f"simulation diverged (non-finite positions) at or before "
-                f"step {batch[int(bad[0])][0]} — the integrator left its "
-                f"stability region. For Brownian/overdamped runs reduce dt "
-                f"(steep potentials need max|f|*dt/kT well below the core "
-                f"scale); for MD check the starting configuration for "
-                f"overlaps (minimize first) or use dtype=float64.")
+    def restore(seg_start, engine):
         if use_slot:
-            lost = np.flatnonzero(vecs[:K, 7] != n)
-            if lost.size:
-                raise RuntimeError(
-                    f"slot state holds {int(vecs[int(lost[0]), 7])} of {n} "
-                    f"particles at step {batch[int(lost[0])][0]} — capacity "
-                    f"overflow recovery failed")
+            restored = slot_forces(
+                slotify(unslotify_state(seg_start), engine), engine)
+            if bool(restored.nbrs.overflow):
+                return None  # initial binning still too tight
+            return restored
+        return seg_start.replace(nbrs=engine.allocate(
+            seg_start.positions, seg_start.diameters,
+            seg_start.unitcell, seg_start.unitcell_inv))
 
-        outputs = []
-        for i, (ev, _) in enumerate(batch):
-            outputs.append((ev, {
-                "energy": vecs[i, 0], "temperature": vecs[i, 1],
-                "virial": vecs[i, 2], "virial_accum": vecs[i, 3],
-                "nprom": vecs[i, 4]}))
-        if want_rows:
-            outputs[-1][1].update(
-                _unpack_output_rows(rows_dev, dim, use_slot))
-        return state, engine, advance, outputs
-
-    meter = None
-    if perf_log:
-        from mdtpu.utils.profiling import StepRateMeter
-
-        meter = StepRateMeter(os.path.join(pathname, "perf.txt"))
-
-    pending = []  # previous batch's (step_label, host data), not yet written
-    for batch in batches:
-        state, engine, advance, outputs = run_batch(
-            state, engine, advance, batch,
-            on_dispatched=lambda p=pending: [flush(item) for item in p])
-        last_ev = batch[-1][0]
-        if meter is not None:
-            meter.tick(last_ev, sum(n_adv for _, n_adv in batch))
-        pending = outputs
-        if last_ev in checkpoint_steps:
-            from mdtpu.io.checkpoint import save_checkpoint
-
-            ck_state = unslotify_state(state) if use_slot else state
-            save_checkpoint(ck_state,
-                            os.path.join(pathname, f"checkpoint.{last_ev}.npz"))
-
-    for item in pending:
-        flush(item)
-    traj_writer.close()
+    state, engine, advance = _drive_events(
+        state, engine, advance,
+        build_advance=build_advance,
+        grow_engine=lambda e: e.with_grown_capacity(),
+        restore=restore,
+        to_particle_state=(unslotify_state if use_slot else (lambda s: s)),
+        use_slot=use_slot, is_brownian=is_brownian, ensemble=ensemble,
+        n=n, dim=dim, volume=volume, density=density,
+        e_lrc=e_lrc, p_lrc=p_lrc,
+        start_step=start_step, end_step=end_step,
+        thermo_steps=thermo_steps, traj_steps=traj_steps, snap_set=snap_set,
+        checkpoint_every=checkpoint_every, pathname=pathname,
+        thermo_file=thermo_file, traj_writer=traj_writer, perf_log=perf_log)
 
     if use_slot:
         # Back to the public (N, d) particle-order layout for final.xyz and
