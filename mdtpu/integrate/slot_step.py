@@ -48,8 +48,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
-from mdtpu.integrate.step import SQRT3, _add
-from mdtpu.integrate.thermostat import bussi_rescale, compute_temperature
+from mdtpu.integrate.step import (_add, brownian_noise,
+                                  brownian_virial_sample, md_velocity_finish)
 from mdtpu.ops.cell_grid import (
     _FAR_PAD_BASE,
     _FAR_PAD_SPACING,
@@ -415,7 +415,6 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
     axis; the engine's ``compute_slots`` is then responsible for its own
     halo collectives. The SAME choreography serves single-chip and sharded
     execution — one slot-physics implementation in the codebase."""
-    is_nvt = isinstance(ensemble, NVT)
     is_brownian = isinstance(ensemble, Brownian)
     # Brownian accumulates the 10-step-averaged virial in-loop
     # (/root/reference/src/simulation.jl:253-256), so it always observes.
@@ -467,26 +466,21 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
                 state.positions, state.diameters, cell, cell_inv, state.nbrs,
                 dtype, xc=state.pos_comp)
             ktemp = jnp.asarray(ensemble.ktemp, dtype)
-            key_step = jax.random.fold_in(state.key, state.step)
-            if axis_name is not None:
-                # Each shard draws its own noise block (key is replicated).
-                key_step = jax.random.fold_in(
-                    key_step, jax.lax.axis_index(axis_name))
-            u = jax.random.uniform(key_step, state.positions.shape,
-                                   dtype=dtype)
-            noise = jnp.where(occ[None, :], (2.0 * u - 1.0) * SQRT3, 0.0)
+            noise = jnp.where(
+                occ[None, :],
+                brownian_noise(state.key, state.step, state.positions.shape,
+                               dtype, axis_name),
+                0.0)
             dx = forces * (dt / ktemp) + noise * jnp.sqrt(2.0 * dt)
             # Deferred wrap: positions drift unwrapped until the next rebin
             # (which folds them and updates images).
             x, xc = _add(state.positions, state.pos_comp, dx, compensated)
-            take = (state.step % 10) == 0
+            virial_accum, nprom = brownian_virial_sample(state, virial)
             return state.replace(
                 positions=x, forces=forces,
                 step=state.step + 1, energy=energy, virial=virial,
                 temperature=ktemp, pos_comp=xc, nbrs=nbrs,
-                virial_accum=state.virial_accum
-                + jnp.where(take, virial, 0.0).astype(state.virial_accum.dtype),
-                nprom=state.nprom + take.astype(state.nprom.dtype),
+                virial_accum=virial_accum, nprom=nprom,
             )
 
         v, vc = _add(state.velocities, state.vel_comp, state.forces * half,
@@ -504,31 +498,16 @@ def make_slot_step(params: Parameters, ensemble, engine: CellGridEngine,
 
         v, vc = _add(v, vc, forces * half, compensated)
 
-        step_1indexed = state.step + 1
-        if is_nvt:
-            # One kinetic reduction serves thermostat AND temperature
-            # (T_after = scale^2 * 2K/nf) — halves the per-step psums on a
-            # mesh and saves an O(n_slots) reduction single-chip.
-            from mdtpu.integrate.thermostat import (bussi_scale_from_kinetic,
-                                                    compute_kinetic)
-
-            ktemp_t = ensemble.ktemp(step_1indexed)
-            key_step = jax.random.fold_in(state.key, state.step)
-            kinetic = compute_kinetic(v, axis_name=axis_name)
-            scale = bussi_scale_from_kinetic(key_step, kinetic, ktemp_t,
-                                             state.nf, dt, ensemble.tau,
-                                             v.dtype)
-            v = v * scale
-            temperature = scale * scale * 2.0 * kinetic / state.nf
-            if compensated:
-                vc = jnp.zeros_like(vc)
-        else:
-            temperature = compute_temperature(v, state.nf,
-                                              axis_name=axis_name)
+        # Ensemble logic — the SAME implementation as the particle-order
+        # step (mdtpu.integrate.step.md_velocity_finish): slot velocities
+        # are (d, S) with zeros in unoccupied slots, so the kinetic
+        # reduction is exact.
+        v, vc, temperature = md_velocity_finish(ensemble, v, vc, state, dt,
+                                                compensated, axis_name)
 
         return state.replace(
             positions=x, velocities=v, forces=forces,
-            step=step_1indexed, energy=energy, virial=virial,
+            step=state.step + 1, energy=energy, virial=virial,
             temperature=temperature, pos_comp=xc, vel_comp=vc, nbrs=nbrs,
         )
 

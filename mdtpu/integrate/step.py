@@ -76,6 +76,61 @@ def _add(x, comp, dx, compensated: bool):
     return x + dx, comp
 
 
+def md_velocity_finish(ensemble, v, vc, state, dt, compensated: bool,
+                       axis_name: str | None):
+    """Post-kick ensemble logic shared by the particle-order and slot step
+    factories — the ONE implementation of the reference's ``ensemble_step!``
+    physics (/root/reference/src/integrate.jl:40-53): Bussi rescale +
+    temperature for NVT (one kinetic reduction serves thermostat AND
+    temperature, T_after = scale^2 * 2K/nf — one psum per step on a mesh),
+    plain temperature for NVE. Returns ``(v, vc, temperature)``.
+
+    Works on both layouts: (N, d) particle rows and (d, S) slot components
+    (unoccupied slots hold zero velocity, so the kinetic sum is exact)."""
+    step_1indexed = state.step + 1
+    if isinstance(ensemble, NVT):
+        from mdtpu.integrate.thermostat import (bussi_scale_from_kinetic,
+                                                compute_kinetic)
+
+        ktemp_t = ensemble.ktemp(step_1indexed)
+        key_step = jax.random.fold_in(state.key, state.step)
+        kinetic = compute_kinetic(v, axis_name=axis_name)
+        scale = bussi_scale_from_kinetic(key_step, kinetic, ktemp_t,
+                                         state.nf, dt, ensemble.tau,
+                                         v.dtype)
+        v = v * scale
+        temperature = scale * scale * 2.0 * kinetic / state.nf
+        if compensated:
+            # Rescaling invalidates the velocity compensation buffer.
+            vc = jnp.zeros_like(vc)
+    else:
+        temperature = compute_temperature(v, state.nf, axis_name=axis_name)
+    return v, vc, temperature
+
+
+def brownian_noise(key, step, shape, dtype, axis_name: str | None):
+    """The reference's variance-matched uniform noise, xi on
+    [-sqrt(3), sqrt(3)] (/root/reference/src/integrate.jl:55-59) — shared by
+    both step factories. Per-step key is ``fold_in(key, step)``; on a mesh
+    each shard additionally folds in its axis index (key is replicated)."""
+    key_step = jax.random.fold_in(key, step)
+    if axis_name is not None:
+        key_step = jax.random.fold_in(key_step, jax.lax.axis_index(axis_name))
+    u = jax.random.uniform(key_step, shape, dtype=dtype)
+    return (2.0 * u - 1.0) * SQRT3
+
+
+def brownian_virial_sample(state, virial):
+    """Virial sampled every 10 steps for the averaged Brownian pressure
+    (/root/reference/src/simulation.jl:253-256); returns the updated
+    ``(virial_accum, nprom)``."""
+    take = (state.step % 10) == 0
+    virial_accum = state.virial_accum + jnp.where(take, virial, 0.0).astype(
+        state.virial_accum.dtype)
+    nprom = state.nprom + take.astype(state.nprom.dtype)
+    return virial_accum, nprom
+
+
 def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
                  axis_name: str | None = None, force_dtype=None):
     """Velocity-Verlet step with NVE/NVT ensemble logic fused in.
@@ -96,7 +151,6 @@ def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
     random walk."""
     if isinstance(ensemble, Brownian):
         raise TypeError("use make_brownian_step for Brownian dynamics")
-    is_nvt = isinstance(ensemble, NVT)
 
     def step(state: SimulationState) -> SimulationState:
         dtype = state.positions.dtype
@@ -128,36 +182,17 @@ def make_md_step(params: Parameters, ensemble, engine, compensated: bool = True,
         # Second half-kick (/root/reference/src/integrate.jl:28-38).
         v, vc = _add(v, vc, forces * half, compensated)
 
-        # Ensemble logic (/root/reference/src/integrate.jl:40-53). The
+        # Ensemble logic — shared implementation (md_velocity_finish); the
         # schedule is called with the 1-indexed step, matching the reference.
-        step_1indexed = state.step + 1
-        if is_nvt:
-            # One kinetic reduction serves thermostat AND temperature
-            # (T_after = scale^2 * 2K/nf): one psum per step on a mesh.
-            from mdtpu.integrate.thermostat import (bussi_scale_from_kinetic,
-                                                    compute_kinetic)
-
-            ktemp_t = ensemble.ktemp(step_1indexed)
-            key_step = jax.random.fold_in(state.key, state.step)
-            kinetic = compute_kinetic(v, axis_name=axis_name)
-            scale = bussi_scale_from_kinetic(key_step, kinetic, ktemp_t,
-                                             state.nf, dt, ensemble.tau,
-                                             v.dtype)
-            v = v * scale
-            temperature = scale * scale * 2.0 * kinetic / state.nf
-            if compensated:
-                # Rescaling invalidates the velocity compensation buffer.
-                vc = jnp.zeros_like(vc)
-        else:
-            temperature = compute_temperature(v, state.nf,
-                                              axis_name=axis_name)
+        v, vc, temperature = md_velocity_finish(ensemble, v, vc, state, dt,
+                                                compensated, axis_name)
 
         return state.replace(
             positions=x,
             velocities=v,
             forces=forces,
             images=images,
-            step=step_1indexed,
+            step=state.step + 1,
             energy=energy,
             virial=virial,
             temperature=temperature,
@@ -196,14 +231,8 @@ def make_brownian_step(params: Parameters, ensemble: Brownian, engine,
             engine, state.positions, state.diameters, cell, cell_inv, state.nbrs
         )
 
-        key_step = jax.random.fold_in(state.key, state.step)
-        if axis_name is not None:
-            # Each shard draws its own noise slab (key is replicated).
-            key_step = jax.random.fold_in(
-                key_step, jax.lax.axis_index(axis_name))
-        u = jax.random.uniform(key_step, state.positions.shape, dtype=dtype)
-        noise = (2.0 * u - 1.0) * SQRT3
-
+        noise = brownian_noise(state.key, state.step, state.positions.shape,
+                               dtype, axis_name)
         dx = forces * (dt / ktemp) + noise * sigma
         x, xc = _add(state.positions, state.pos_comp, dx, compensated)
         if compensated:
@@ -212,13 +241,7 @@ def make_brownian_step(params: Parameters, ensemble: Brownian, engine,
         else:
             x, images = wrap_positions(x, state.images, cell, cell_inv)
 
-        # Virial sampled every 10 steps for the averaged Brownian pressure
-        # (/root/reference/src/simulation.jl:253-256).
-        take = (state.step % 10) == 0
-        virial_accum = state.virial_accum + jnp.where(take, virial, 0.0).astype(
-            state.virial_accum.dtype
-        )
-        nprom = state.nprom + take.astype(state.nprom.dtype)
+        virial_accum, nprom = brownian_virial_sample(state, virial)
 
         return state.replace(
             positions=x,
