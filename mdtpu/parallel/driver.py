@@ -327,6 +327,9 @@ def _run_sharded_slot(
     e_lrc = float(potential.energy_lrc(n, volume))
     p_lrc = float(potential.pressure_lrc(n, volume))
     is_brownian = isinstance(ensemble, Brownian)
+    # Run-constant diameters, host-side in original particle order (the
+    # state is still particle-ordered here) — row events never transfer them.
+    diameters_np = np.asarray(state.diameters)
 
     if state.nbrs is not None:
         state = state.replace(nbrs=None)
@@ -359,7 +362,7 @@ def _run_sharded_slot(
             make_sharded_slot_advance(params, ensemble, engine, mesh,
                                       spec_state, compensated=compensated,
                                       hilo=hilo),
-            True, is_brownian)
+            True, is_brownian, n)
         if key is not None:
             _SHARDED_ADVANCE_CACHE[key] = fn
         return fn
@@ -390,7 +393,7 @@ def _run_sharded_slot(
         to_particle_state=lambda s: unshard_slot_state(s, engine),
         use_slot=True, is_brownian=is_brownian, ensemble=ensemble,
         n=n, dim=dim, volume=volume, density=density,
-        e_lrc=e_lrc, p_lrc=p_lrc,
+        e_lrc=e_lrc, p_lrc=p_lrc, diameters_np=diameters_np,
         start_step=start_step, end_step=end_step,
         thermo_steps=thermo_steps, traj_steps=traj_steps, snap_set=snap_set,
         checkpoint_every=checkpoint_every, pathname=pathname,

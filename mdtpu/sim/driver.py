@@ -101,42 +101,50 @@ def _event_scalars(state):
                       va.astype(d), nprom.astype(d), ovf, bad, nocc])
 
 
-def _pack_output_rows(state, use_slot):
+def _pack_output_rows(state, use_slot, n):
     """Everything a trajectory frame / snapshot needs, packed into ONE device
     array: ``jax.device_get`` of a dict moves one RPC round trip per leaf on
-    the remote tunnel (5-50 ms each) — the packed form is one transfer.
+    the remote tunnel (5-50 ms each) — the packed form is one transfer, and
+    the row payload itself is the cost floor at trajectory cadence (~19 MB/s
+    tunnel bandwidth, BENCH_NOTES), so it is kept minimal:
+
+      * slot states are COMPACTED on device first (one packed gather of the
+        ``n`` occupied slots out of the ~1.6x-padded slot space — same
+        packed-rows trick as the rebin, ~µs vs the ~100 ms it saves on the
+        wire), and
+      * run-constant per-particle data never rides along: diameters are kept
+        by the driver host-side in original particle order, and occupancy is
+        implied (exactly the n gathered rows; particle loss is caught by the
+        scalar-vector count before any row is consumed).
+
     Images and ids are integer-exact in the position dtype (ids < 2^24 is
     enforced at slotify). The unitcell is constant for a run and pulled once
     by the driver, not per event."""
     dt = state.positions.dtype
     if use_slot:
-        return jnp.concatenate([
+        (idx,) = jnp.nonzero(state.nbrs.occupied, size=n,
+                             fill_value=state.nbrs.occupied.shape[0] - 1)
+        rows = jnp.concatenate([
             state.positions,                        # (d, S)
             state.images.astype(dt),                # (d, S)
-            state.diameters[None],                  # (1, S)
-            state.nbrs.occupied.astype(dt)[None],   # (1, S)
             state.ids.astype(dt)[None],             # (1, S)
         ], axis=0)
+        return jnp.take(rows, idx, axis=1)          # (2d+1, n)
     return jnp.concatenate([
         state.positions.T,                          # (d, N)
         state.images.astype(dt).T,                  # (d, N)
-        state.diameters[None],                      # (1, N)
     ], axis=0)
 
 
 def _unpack_output_rows(rows_dev, dim, use_slot):
     rows = np.asarray(rows_dev)  # the ONE row transfer of the event
-    out = {"diameters": rows[2 * dim]}
     if use_slot:
-        # flush() consumes slot rows component-major, like the old dict pull.
-        out["positions"] = rows[0:dim]
-        out["images"] = rows[dim:2 * dim].astype(np.int32)
-        out["occupied"] = rows[2 * dim + 1] != 0
-        out["ids"] = rows[2 * dim + 2].astype(np.int64)
-    else:
-        out["positions"] = rows[0:dim].T
-        out["images"] = rows[dim:2 * dim].T.astype(np.int32)
-    return out
+        # flush() consumes slot rows component-major (compacted, unordered).
+        return {"positions": rows[0:dim],
+                "images": rows[dim:2 * dim].astype(np.int32),
+                "ids": rows[2 * dim].astype(np.int64)}
+    return {"positions": rows[0:dim].T,
+            "images": rows[dim:2 * dim].T.astype(np.int32)}
 
 
 # Batched-event advance: scalar-only (thermo) events between two row events
@@ -156,7 +164,7 @@ def _bucket(k):
     return _BATCH_BUCKETS[-1]
 
 
-def _make_batch_advance(adv, use_slot, is_brownian):
+def _make_batch_advance(adv, use_slot, is_brownian, n):
     """advance_batch(state, lengths (B,), thermo_flags (B,)) ->
     (state, per-event scalar vectors (B, 8), packed output rows)."""
 
@@ -178,7 +186,7 @@ def _make_batch_advance(adv, use_slot, is_brownian):
             return s, vec
 
         state, vecs = jax.lax.scan(body, state, (lengths, thermo_flags))
-        return state, vecs, _pack_output_rows(state, use_slot)
+        return state, vecs, _pack_output_rows(state, use_slot, n)
 
     return advance_batch
 
@@ -234,9 +242,9 @@ def _capacity_msg(engine):
 def _drive_events(state, engine, advance, *,
                   build_advance, grow_engine, restore, to_particle_state,
                   use_slot, is_brownian, ensemble, n, dim, volume, density,
-                  e_lrc, p_lrc, start_step, end_step, thermo_steps,
-                  traj_steps, snap_set, checkpoint_every, pathname,
-                  thermo_file, traj_writer, perf_log=False):
+                  e_lrc, p_lrc, diameters_np, start_step, end_step,
+                  thermo_steps, traj_steps, snap_set, checkpoint_every,
+                  pathname, thermo_file, traj_writer, perf_log=False):
     """The event loop shared by the single-device and sharded drivers:
     batch the output schedule, advance through each batch in ONE jitted
     call, pull its scalars in ONE transfer, write files while the next
@@ -290,25 +298,28 @@ def _drive_events(state, engine, advance, *,
             return
         s, dev = pending_item
         has_rows = "positions" in dev
+        if has_rows:
+            dev = dict(dev)
+            dev["diameters"] = diameters_np  # run-constant, never transferred
         if use_slot and has_rows:
-            # Compact real rows, restore original particle order, and fold
-            # the deferred-wrap residual drift for in-box output rows.
+            # Restore original particle order (rows arrive device-compacted,
+            # unordered) and fold the deferred-wrap residual drift for
+            # in-box output rows.
             from mdtpu.integrate.slot_step import _host_wrap
 
-            occ = np.asarray(dev["occupied"])
-            if int(occ.sum()) != n:
-                # Backstop: the overflow flag + restore-and-rerun should make
-                # this unreachable; losing rows silently corrupts the physics.
+            ids = np.asarray(dev["ids"])
+            if (ids < 0).any():
+                # Backstop: the scalar-vector occupied count + restore-and-
+                # rerun should make this unreachable; losing rows silently
+                # corrupts the physics.
                 raise RuntimeError(
-                    f"slot state holds {int(occ.sum())} of {n} particles at "
-                    f"step {s} — capacity overflow recovery failed")
-            order = np.argsort(np.asarray(dev["ids"])[occ])
-            dev = dict(dev)
+                    f"slot output rows at step {s} contain vacant slots — "
+                    f"capacity overflow recovery failed")
+            order = np.argsort(ids)
             for name in ("positions", "images"):
-                dev[name] = np.asarray(dev[name]).T[occ][order]
+                dev[name] = np.asarray(dev[name]).T[order]
             dev["positions"], dev["images"] = _host_wrap(
                 dev["positions"], dev["images"], unitcell_np)
-            dev["diameters"] = np.asarray(dev["diameters"])[occ][order]
         e = float(dev["energy"])
         t = float(dev["temperature"])
         if is_brownian:
@@ -527,6 +538,10 @@ def run_simulation(
     density = float(params.density)
     e_lrc = float(potential.energy_lrc(n, volume))
     p_lrc = float(potential.pressure_lrc(n, volume))
+    # Diameters are constant for a run: keep them host-side in original
+    # particle order (the state is still particle-ordered here) so row
+    # events never transfer them.
+    diameters_np = np.asarray(state.diameters)
 
     # Slot-space fast path: for the 3D cell-grid engine the whole state runs
     # in cell-sorted component-major slot order (no per-step scatter/gather,
@@ -593,12 +608,12 @@ def run_simulation(
             fn = _make_batch_advance(
                 make_slot_advance(params, ensemble, engine,
                                   compensated=compensated, hilo=hilo),
-                True, is_brownian)
+                True, is_brownian, n)
         else:
             step_fn = make_step(params, ensemble, engine,
                                 compensated=compensated)
             fn = _make_batch_advance(_make_fori_advance(step_fn), False,
-                                     is_brownian)
+                                     is_brownian, n)
         if key is not None:
             _ADVANCE_CACHE[key] = fn
         return fn
@@ -629,7 +644,7 @@ def run_simulation(
         to_particle_state=(unslotify_state if use_slot else (lambda s: s)),
         use_slot=use_slot, is_brownian=is_brownian, ensemble=ensemble,
         n=n, dim=dim, volume=volume, density=density,
-        e_lrc=e_lrc, p_lrc=p_lrc,
+        e_lrc=e_lrc, p_lrc=p_lrc, diameters_np=diameters_np,
         start_step=start_step, end_step=end_step,
         thermo_steps=thermo_steps, traj_steps=traj_steps, snap_set=snap_set,
         checkpoint_every=checkpoint_every, pathname=pathname,
