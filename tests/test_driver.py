@@ -510,3 +510,38 @@ def test_driver_slot_log_times_and_compress(tmp_path):
     assert txt.count("\n") > n
     assert os.path.isfile(os.path.join(p, "trajectory.xyz.zst"))
     assert not os.path.isfile(os.path.join(p, "trajectory.xyz"))
+
+
+def test_pack_output_rows_roundtrip_slot():
+    """The trajectory-event row transfer compacts the padded slot state on
+    device to exactly the n occupied rows (one packed gather; run-constant
+    diameters never ride along). Pinned here: every particle id appears
+    exactly once, and the id-ordered rows reproduce the unslotified state
+    bit-for-bit."""
+    from mdtpu.integrate.slot_step import (_host_wrap, slot_forces, slotify,
+                                           unslotify_arrays)
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.sim.driver import _pack_output_rows, _unpack_output_rows
+
+    pot = PseudoHS()
+    n = 321  # deliberately not a lane multiple: plenty of vacant slots
+    params = Parameters(density=0.4, n_particles=n, dt=0.001, potential=pot)
+    state = initialize_state(params, "/tmp/pack_rt", dimension=3, cutoff=1.5,
+                             dtype=jnp.float32, seed=3)
+    eng = CellGridEngine.create(pot, 1.5, 0.3, np.asarray(state.unitcell), n)
+    sl = slot_forces(slotify(state, eng), eng)
+    assert int(sl.nbrs.occupied.sum()) == n
+    assert sl.positions.shape[1] > n  # padded slot space
+
+    rows = jax.jit(lambda s: _pack_output_rows(s, True, n))(sl)
+    assert rows.shape == (2 * 3 + 1, n)
+    dev = _unpack_output_rows(rows, 3, True)
+
+    ids = dev["ids"]
+    assert sorted(ids.tolist()) == list(range(n))  # each id exactly once
+    # The packed rows are unwrapped (deferred wrap); fold like the driver
+    # does, then compare in slot order (nonzero-gather order == mask order).
+    pos, img = _host_wrap(dev["positions"].T, dev["images"].T, sl.unitcell)
+    pos_ref, _, _, img_ref = unslotify_arrays(sl)
+    np.testing.assert_array_equal(pos, pos_ref)
+    np.testing.assert_array_equal(img, img_ref)
