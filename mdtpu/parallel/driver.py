@@ -167,8 +167,10 @@ def run_simulation_sharded(
         snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
         snap_set = set([0] + [s for s in snaps if s < end_step])
     thermo_steps = set(range(start_step, end_step, frequency))
+    traj_steps = (thermo_steps if traj_frequency is None else
+                  set(range(start_step, end_step, traj_frequency)))
     events = sorted(
-        s for s in (thermo_steps | snap_set
+        s for s in (thermo_steps | traj_steps | snap_set
                     | set(range(start_step, end_step, reshard_every)))
         if s >= start_step)
     since_reshard = 0
@@ -213,7 +215,8 @@ def run_simulation_sharded(
                                            sh.nbrs)
                     sh = sh.replace(forces=f0, energy=e0, virial=w0)
         is_thermo = ev in thermo_steps
-        if is_thermo or ev in snap_set:
+        wants_rows = ev in traj_steps or ev in snap_set
+        if is_thermo or wants_rows:
             if is_thermo:
                 e = float(sh.energy)
                 t = float(sh.temperature)
@@ -235,13 +238,15 @@ def run_simulation_sharded(
                                 + density * t + p_lrc)
                 with open(thermo_file, "a") as io:
                     io.write(f"{ev} {ener:.6f} {t:.6f} {pressure:.6f}\n")
-            pos, img, diam = host_rows(sh)
-            cell_np = np.asarray(sh.unitcell)
-            if is_thermo:
-                traj_writer.write_frame(ev, cell_np, pos, img, diam)
-            if ev in snap_set:
-                write_lammps_frame(os.path.join(pathname, f"snapshot.{ev}"),
-                                   ev, cell_np, pos, img, diam, mode="w")
+            if wants_rows:
+                pos, img, diam = host_rows(sh)
+                cell_np = np.asarray(sh.unitcell)
+                if ev in traj_steps:
+                    traj_writer.write_frame(ev, cell_np, pos, img, diam)
+                if ev in snap_set:
+                    write_lammps_frame(
+                        os.path.join(pathname, f"snapshot.{ev}"), ev,
+                        cell_np, pos, img, diam, mode="w")
         if checkpoint_every is not None and ev % checkpoint_every == 0:
             from mdtpu.io.checkpoint import save_checkpoint
 
