@@ -215,3 +215,37 @@ def test_halo_slot_migration_capacity_overflow_flags(mesh):
     # Nothing lost: every particle still present.
     occ = np.asarray(sh.nbrs.occupied)
     assert int(occ.sum()) == state.n_particles
+
+
+def test_halo_slot_hilo_advance_matches_single_chip(mesh):
+    """The f32x2 hi/lo pair sweep through the SHARDED engine (two_sum ghost
+    shifts across the ppermute seam, hilo window exchange) matches the
+    single-chip hilo slot advance. f32 forces at slab-boundary cells sum in
+    a slightly different order (reaction planes arrive via ppermute), so
+    equality is to f32 reduction-order tolerance, not bitwise."""
+    state, params, pot = _system()
+    state = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if hasattr(x, "dtype")
+        and x.dtype == jnp.float64 else x, state)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    single = eng.as_single_chip()
+
+    ref = slot_forces(slotify(state, single), single)
+    ref_adv = jax.jit(make_slot_advance(params, NVE(), single, hilo=True))
+    ref = ref_adv(ref, 40)
+    ref_out = unslotify_state(ref)
+
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, NVE(), eng, mesh, sh, hilo=True)
+    sh = adv(sh, 40)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    out = unshard_slot_state(sh, eng)
+
+    assert int(sh.step) == 40
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-4)
