@@ -85,7 +85,8 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
     pot = LennardJones(r_cut=2.5)
     params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
     engine = CellGridEngine.create(pot, 2.5, skin, np.asarray(cell), n,
-                                   cell_capacity=cell_capacity)
+                                   cell_capacity=cell_capacity,
+                                   diameters=np.ones(n, np.float32))
 
     if slot:
         # Slot-space hot loop: no per-step scatter/gather, skin rebuild

@@ -39,7 +39,8 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
         # Padded-lane-optimal geometry: fat cells (C ~ 30-40, 3C lanes ~
         # full 128-lane vregs) instead of cutoff-sized cells — up to 1.8x
         # less padded compute at 262k and ~5x fewer rebuilds.
-        engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n)
+        engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n,
+                                             diameters=np.ones(n, np.float32))
         kind = (f"slot-cellgrid grid={engine.grid} C={engine.cell_capacity}"
                 f" skin={engine.skin:.2f} scan={int(engine.plane_scan)}")
         slot = True

@@ -56,7 +56,8 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
         # the energy jumped 0.27/particle and the "drift" gate read 0.38.
         # Overflow is now reported below so this can never masquerade as
         # integrator drift again.
-        engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n)
+        engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n,
+                                             diameters=np.ones(n, np.float32))
 
     if engine_kind == "naive":
         e, w, f, nbrs = engine_forces(engine, state.positions,
@@ -170,7 +171,8 @@ def main_driver(n=1024, rho=0.76, temp=1.4737, dt=0.001,
         temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
     pot = PseudoHS()
     params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
-    engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n)
+    engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n,
+                                         diameters=np.ones(n, np.float32))
 
     tmp = tempfile.mkdtemp(prefix="gate_driver_")
     # NVT equilibration through the driver, then the NVE production run.

@@ -96,6 +96,14 @@ def slotify(state: SimulationState, engine: CellGridEngine) -> SimulationState:
         raise ValueError(
             f"slot layout needs n_cells*capacity < 2^24 for the f32-exact "
             f"packed rebin (got {n_slots}); use the sharded driver")
+    uni = getattr(engine, "uniform_sigma", 0.0)
+    if uni and not isinstance(state.diameters, jax.core.Tracer):
+        d = np.asarray(state.diameters)
+        if d.size and not bool(np.all(d == np.float64(uni))):
+            raise ValueError(
+                f"engine was created with uniform_sigma={uni} but the state "
+                "has non-uniform (or different) diameters — recreate the "
+                "engine with diameters=state.diameters")
 
     nbrs = engine.allocate(state.positions, state.diameters, state.unitcell,
                            state.unitcell_inv)

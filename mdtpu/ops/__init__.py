@@ -39,10 +39,12 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     from mdtpu.potentials.base import check_engine_cutoff
 
     max_sigma = 1.0
+    diameters = None
     if state is not None:
         unitcell = state.unitcell
         n_particles = state.n_particles
-        max_sigma = float(np.max(np.asarray(state.diameters)))
+        diameters = np.asarray(state.diameters)
+        max_sigma = float(np.max(diameters))
     check_engine_cutoff(potential, cutoff, max_sigma)
 
     if prefer == "naive":
@@ -67,7 +69,7 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     if prefer == "cellgrid":
         return CellGridEngine.create_tuned(
             potential, float(cutoff), np.asarray(unitcell), int(n_particles),
-            min_skin=float(skin), max_sigma=max_sigma)
+            min_skin=float(skin), max_sigma=max_sigma, diameters=diameters)
 
     if jax.default_backend() == "cpu" and ortho:
         return NeighborListEngine.create(
@@ -77,7 +79,7 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     # 2.5x faster than cutoff-sized cells and ~4x fewer rebuilds.
     return CellGridEngine.create_tuned(
         potential, float(cutoff), np.asarray(unitcell), int(n_particles),
-        min_skin=float(skin), max_sigma=max_sigma)
+        min_skin=float(skin), max_sigma=max_sigma, diameters=diameters)
 
 
 __all__ = ["NaivePairEngine", "select_engine"]

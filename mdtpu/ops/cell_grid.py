@@ -69,11 +69,34 @@ def refresh_far_grids(positions, nbrs, grid, cap, cell, cell_inv):
     return grids
 
 
+def uniform_sigma_of(diameters):
+    """The common diameter value if every particle shares one, else 0.0.
+
+    Engines created with a nonzero ``uniform_sigma`` hoist the
+    Lorentz-mixing out of the pair sweep entirely: the diameter windows are
+    never built (less gather/concat traffic and, on the sharded engine, a
+    smaller ppermute payload) and the potential kernel receives a
+    compile-time scalar sigma that XLA constant-folds. The reference mixes
+    sigmas per pair unconditionally (/root/reference/src/pairwise.jl:31);
+    for the monodisperse systems of its own examples that work is
+    loop-invariant."""
+    if diameters is None:
+        return 0.0
+    d = np.asarray(diameters)
+    if d.size == 0:
+        return 0.0
+    v = d.reshape(-1)[0]
+    return float(v) if bool(np.all(d == v)) else 0.0
+
+
 def ghost_z_window(a, ghost_shift=None):
     """Concatenate the z-1 / z / z+1 cell contents into (..., z, 3C) windows;
     win[..., z, w*C + c] = a[..., z + (w - 1), c], periodic in z. For the z
     coordinate component pass ghost_shift = Lz so the wrapped plane carries
-    true (image-shifted) coordinates and no per-slot MIC is needed."""
+    true (image-shifted) coordinates and no per-slot MIC is needed.
+    Zero-dim inputs (uniform-sigma scalars) pass through unchanged."""
+    if jnp.ndim(a) == 0:
+        return a
     if ghost_shift is None:
         zm = jnp.roll(a, 1, axis=2)
         zp = jnp.roll(a, -1, axis=2)
@@ -128,12 +151,19 @@ class CellGridEngine:
     # XLA already fuses the pair tile into its reductions, so the tile
     # never materializes and chunking only adds slice/stack copies.
     plane_scan: bool = struct.field(pytree_node=False, default=False)
+    # Nonzero when every particle shares this diameter: the sweeps then skip
+    # the diameter windows and pass a constant-folded scalar sigma to the
+    # potential (see uniform_sigma_of). Set automatically by create /
+    # create_tuned when ``diameters`` is supplied.
+    uniform_sigma: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def create(cls, potential, cutoff, skin, unitcell, n_particles,
-               cell_capacity=None, max_sigma=1.0):
+               cell_capacity=None, max_sigma=1.0, diameters=None):
         from mdtpu.potentials.base import check_engine_cutoff
 
+        if diameters is not None:
+            max_sigma = max(max_sigma, float(np.max(np.asarray(diameters))))
         check_engine_cutoff(potential, cutoff, max_sigma)
         grid = _grid_for_box(unitcell, cutoff, skin)
         if grid is None:
@@ -148,11 +178,13 @@ class CellGridEngine:
             mean_occ = n_particles / volume * (volume / int(np.prod(grid)))
             cell_capacity = int(math.ceil(mean_occ + 3.5 * math.sqrt(mean_occ) + 2))
         return cls(potential=potential, cutoff=float(cutoff), skin=float(skin),
-                   grid=grid, cell_capacity=int(cell_capacity))
+                   grid=grid, cell_capacity=int(cell_capacity),
+                   uniform_sigma=uniform_sigma_of(diameters))
 
     @classmethod
     def create_tuned(cls, potential, cutoff, unitcell, n_particles,
-                     min_skin=0.3, occ_sigma=2.5, max_sigma=1.0):
+                     min_skin=0.3, occ_sigma=2.5, max_sigma=1.0,
+                     diameters=None):
         """Pick the (grid, capacity, skin) minimizing padded-lane cost.
 
         The z-window pair blocks are (C, 3C) tiles padded to (ceil8(C),
@@ -169,6 +201,8 @@ class CellGridEngine:
         sparse CPU traversal, wrong for dense TPU tiles."""
         from mdtpu.potentials.base import check_engine_cutoff
 
+        if diameters is not None:
+            max_sigma = max(max_sigma, float(np.max(np.asarray(diameters))))
         check_engine_cutoff(potential, cutoff, max_sigma)
         u = np.asarray(unitcell, np.float64)
         lengths = [float(np.linalg.norm(u[:, k])) for k in range(u.shape[0])]
@@ -218,7 +252,8 @@ class CellGridEngine:
         tile_bytes = int(np.prod(grids)) * subl * lanes * 4
         return cls(potential=potential, cutoff=float(cutoff),
                    skin=float(skin), grid=grids, cell_capacity=cap,
-                   plane_scan=bool(len(grids) == 3 and tile_bytes > 1.2e8))
+                   plane_scan=bool(len(grids) == 3 and tile_bytes > 1.2e8),
+                   uniform_sigma=uniform_sigma_of(diameters))
 
     def with_grown_capacity(self):
         return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
@@ -291,7 +326,9 @@ class CellGridEngine:
         cap = self.cell_capacity
         grids = refresh_far_grids(positions, nbrs, self.grid, cap, cell,
                                   cell_inv)
-        diam = nbrs.sorted_diam.reshape(self.grid + (cap,))
+        diam = (jnp.asarray(self.uniform_sigma, positions.dtype)
+                if self.uniform_sigma
+                else nbrs.sorted_diam.reshape(self.grid + (cap,)))
         energy, virial, f_own = self._ywindow_sweep(grids, diam, cell)
         forces = jnp.stack(
             [f_own[k].reshape(-1)[nbrs.addr] for k in range(dim)], axis=-1)
@@ -322,6 +359,8 @@ class CellGridEngine:
         hilo = grids_lo is not None
 
         def ywin(a, ghost_shift=None):
+            if jnp.ndim(a) == 0:   # uniform-sigma scalar passes through
+                return a
             if ghost_shift is None:
                 ym = jnp.roll(a, 1, axis=1)
                 yp = jnp.roll(a, -1, axis=1)
@@ -353,7 +392,7 @@ class CellGridEngine:
             win_lo = own_lo = None
         win_diam = ywin(diam)
         own = [g.reshape(n_cells, cap, 1) for g in grids]
-        own_diam3 = diam.reshape(n_cells, cap, 1)
+        own_diam3 = diam if jnp.ndim(diam) == 0 else diam.reshape(n_cells, cap, 1)
 
         i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
         j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
@@ -363,7 +402,8 @@ class CellGridEngine:
 
         def pair_block(wc, wd, exclude_self, wc_lo=None):
             wc = [w.reshape(n_cells, 1, 3 * cap) for w in wc]
-            wd = wd.reshape(n_cells, 1, 3 * cap)
+            if jnp.ndim(wd):
+                wd = wd.reshape(n_cells, 1, 3 * cap)
             if wc_lo is not None:
                 wc_lo = [w.reshape(n_cells, 1, 3 * cap) for w in wc_lo]
                 d_comps = []
@@ -410,7 +450,8 @@ class CellGridEngine:
             wc = [jnp.concatenate([win[k][1:], win[k][:1] + cell[k, 0]],
                                   axis=0) for k in range(dim)]
             wc_lo = None
-        wd = jnp.concatenate([win_diam[1:], win_diam[:1]], axis=0)
+        wd = (win_diam if jnp.ndim(win_diam) == 0
+              else jnp.concatenate([win_diam[1:], win_diam[:1]], axis=0))
         u, f_over_r, r2s, d_comps = pair_block(wc, wd, False, wc_lo=wc_lo)
         if observables:
             energy = energy + jnp.sum(u)
@@ -454,7 +495,9 @@ class CellGridEngine:
         cap = self.cell_capacity
         grids = refresh_far_grids(positions, nbrs, self.grid, cap, cell,
                                   cell_inv)
-        diam = nbrs.sorted_diam.reshape(self.grid + (cap,))
+        diam = (jnp.asarray(self.uniform_sigma, positions.dtype)
+                if self.uniform_sigma
+                else nbrs.sorted_diam.reshape(self.grid + (cap,)))
         energy, virial, f_own = self._zwindow_sweep(grids, diam, cell)
         # Back to particle order: one (N,) gather per component.
         forces = jnp.stack(
@@ -508,10 +551,10 @@ class CellGridEngine:
         else:
             win = [ghost_z_window(grids[k], cell[k, 2]) for k in range(dim)]
             win_lo = own_lo = None
-        win_diam = ghost_z_window(diam)
+        win_diam = ghost_z_window(diam)  # passes scalars (uniform sigma) through
 
         own = [g.reshape(n_cells, cap, 1) for g in grids]
-        own_diam3 = diam.reshape(n_cells, cap, 1)
+        own_diam3 = diam if jnp.ndim(diam) == 0 else diam.reshape(n_cells, cap, 1)
 
         # Self-pair exclusion: window column cap + i is own slot i; adding a
         # huge value to that diagonal band pushes self pairs past the cutoff.
@@ -523,7 +566,8 @@ class CellGridEngine:
 
         def pair_block(wc, wd, exclude_self, wc_lo=None):
             wc = [w.reshape(n_cells, 1, 3 * cap) for w in wc]
-            wd = wd.reshape(n_cells, 1, 3 * cap)
+            if jnp.ndim(wd):
+                wd = wd.reshape(n_cells, 1, 3 * cap)
             if wc_lo is not None:
                 # Error-free hi difference (two_sum) + the lo difference:
                 # displacements exact to O(ulp^2) — a plain hi difference
@@ -574,7 +618,10 @@ class CellGridEngine:
         def plane_shift(w, ox, oy, ghost_x, ghost_y):
             """Neighbor view of a window array for in-plane offset (ox, oy),
             with ghost shifts baked into the wrapped x/y planes (ghost_* is
-            the box length for that array's own component, else None)."""
+            the box length for that array's own component, else None).
+            Scalars (uniform sigma) pass through."""
+            if jnp.ndim(w) == 0:
+                return w
             if ox == 1:
                 top = w[:1] + ghost_x if ghost_x is not None else w[:1]
                 w = jnp.concatenate([w[1:], top], axis=0)
@@ -682,7 +729,10 @@ class CellGridEngine:
 
         def yshift(w, oy, ghost_y):
             # w (ny, nz, W); oy in {-1, 0, 1}; ghost_y = box shift for the
-            # wrapped row (None for diameters / reactions).
+            # wrapped row (None for diameters / reactions). Scalars
+            # (uniform sigma) pass through.
+            if jnp.ndim(w) == 0:
+                return w
             if oy == 1:
                 left = w[:1] + ghost_y if ghost_y is not None else w[:1]
                 return jnp.concatenate([w[1:], left], axis=0)
@@ -713,14 +763,17 @@ class CellGridEngine:
             energy, virial, react_in = carry
             own = [jax.lax.dynamic_index_in_dim(grids_s[k], i, 0, False)
                    .reshape(m, cap, 1) for k in range(dim)]
-            own_d = jax.lax.dynamic_index_in_dim(diam, i, 0, False) \
-                .reshape(m, cap, 1)
             wp = [jax.lax.dynamic_index_in_dim(win[k], i, 0, False)
                   for k in range(dim)]                      # (ny, nz, 3C)
-            wd = jax.lax.dynamic_index_in_dim(win_diam, i, 0, False)
             ip1 = (i + 1) % nx
             wrap = (i == nx - 1)
-            wd1 = jax.lax.dynamic_index_in_dim(win_diam, ip1, 0, False)
+            if jnp.ndim(diam) == 0:     # uniform sigma: constant scalar
+                own_d = wd = wd1 = diam
+            else:
+                own_d = jax.lax.dynamic_index_in_dim(diam, i, 0, False) \
+                    .reshape(m, cap, 1)
+                wd = jax.lax.dynamic_index_in_dim(win_diam, i, 0, False)
+                wd1 = jax.lax.dynamic_index_in_dim(win_diam, ip1, 0, False)
             if hilo:
                 own_lo = [jax.lax.dynamic_index_in_dim(lo_s[k], i, 0, False)
                           .reshape(m, cap, 1) for k in range(dim)]
@@ -744,7 +797,8 @@ class CellGridEngine:
 
             def block(wc, wdd, exclude_self, wc_lo=None):
                 wc = [w.reshape(m, 1, 3 * cap) for w in wc]
-                wdd = wdd.reshape(m, 1, 3 * cap)
+                if jnp.ndim(wdd):
+                    wdd = wdd.reshape(m, 1, 3 * cap)
                 if wc_lo is not None:
                     wc_lo = [w.reshape(m, 1, 3 * cap) for w in wc_lo]
                     d_comps = []
@@ -830,7 +884,8 @@ class CellGridEngine:
         # home cell with NO per-slot minimum-image work here (vacant slots
         # hold far-pad values). The per-step MIC preamble this replaces was
         # ~20 VPU ops per slot.
-        diam = diameters.reshape(shape)
+        diam = (jnp.asarray(self.uniform_sigma, positions.dtype)
+                if self.uniform_sigma else diameters.reshape(shape))
         grids = [positions[k].reshape(shape) for k in range(dim)]
         # Hi/lo (double-f32): the Kahan compensation's negated low word
         # rides along unchanged (deferred wrap keeps the pair coherent;

@@ -89,7 +89,7 @@ def run_simulation_sharded(
         engine = HaloSlotEngine.create_tuned(
             params.potential, float(state.cutoff), np.asarray(state.unitcell),
             n, n_shards=mesh.devices.size,
-            max_sigma=float(np.max(np.asarray(state.diameters))))
+            diameters=np.asarray(state.diameters))
     if isinstance(engine, HaloSlotEngine):
         return _run_sharded_slot(
             state, params, ensemble, total_steps, frequency, pathname,

@@ -73,6 +73,11 @@ class HaloSlotEngine:
     # per-shard flag raised (driver recovers by restore+grow, like cell
     # capacity).
     migration_capacity: int = struct.field(pytree_node=False, default=512)
+    # Nonzero when every particle shares this diameter (see
+    # mdtpu.ops.cell_grid.uniform_sigma_of): the sweep then skips the
+    # diameter windows AND drops the diameter plane from the halo
+    # ppermute payload.
+    uniform_sigma: float = struct.field(pytree_node=False, default=0.0)
     # The rebin contains ppermutes, so it must NEVER run under lax.cond
     # (collectives inside a cond branch are not SPMD-safe); the slot
     # choreography runs it unconditionally per outer (rebin) iteration.
@@ -81,12 +86,15 @@ class HaloSlotEngine:
     @classmethod
     def create_tuned(cls, potential, cutoff, unitcell, n_particles, n_shards,
                      min_skin=0.3, occ_sigma=2.5, axis_name=SHARD_AXIS,
-                     max_sigma=1.0):
+                     max_sigma=1.0, diameters=None):
         """Padded-lane-optimal geometry (same cost model as the single-chip
         ``CellGridEngine.create_tuned``; nx constrained to a multiple of
         ``n_shards``) — delegates to the row engine's tuner."""
+        from mdtpu.ops.cell_grid import uniform_sigma_of
         from mdtpu.parallel.halo import HaloCellGridEngine
 
+        if diameters is not None:
+            max_sigma = max(max_sigma, float(np.max(np.asarray(diameters))))
         row = HaloCellGridEngine.create_tuned(
             potential, cutoff, unitcell, n_particles, n_shards,
             min_skin=min_skin, occ_sigma=occ_sigma, axis_name=axis_name,
@@ -97,7 +105,8 @@ class HaloSlotEngine:
         return cls(potential=potential, cutoff=row.cutoff, skin=row.skin,
                    grid=row.grid, cell_capacity=row.cell_capacity,
                    n_shards=n_shards, axis_name=axis_name,
-                   migration_capacity=K)
+                   migration_capacity=K,
+                   uniform_sigma=uniform_sigma_of(diameters))
 
     def with_grown_capacity(self):
         return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
@@ -117,7 +126,8 @@ class HaloSlotEngine:
         device) and for host-side unslotify."""
         return CellGridEngine(
             potential=self.potential, cutoff=self.cutoff, skin=self.skin,
-            grid=self.grid, cell_capacity=self.cell_capacity)
+            grid=self.grid, cell_capacity=self.cell_capacity,
+            uniform_sigma=self.uniform_sigma)
 
     # ------------------------------------------------------------ rebuild
     def slot_rebin(self, state: SimulationState) -> SimulationState:
@@ -290,7 +300,11 @@ class HaloSlotEngine:
 
         shape = (mx, ny, nz, cap)
         grids = [positions[k].reshape(shape) for k in range(dim)]
-        diam = diameters.reshape(shape)
+        # Uniform sigma: scalar constant — no diameter windows, and the
+        # diameter plane drops out of the halo ppermute payload below.
+        uni = jnp.ndim(diameters) == 0 or self.uniform_sigma
+        diam = (jnp.asarray(self.uniform_sigma or diameters, dtype)
+                if uni else diameters.reshape(shape))
 
         if hilo:
             grids_lo = [pos_lo[k].reshape(shape) for k in range(dim)]
@@ -302,18 +316,18 @@ class HaloSlotEngine:
         else:
             win = [ghost_z_window(grids[k], cell[k, 2]) for k in range(dim)]
             win_lo = own_lo = None
-        win_diam = ghost_z_window(diam)
+        win_diam = ghost_z_window(diam)  # scalar passthrough when uniform
 
         # --- halo exchange: receive the right neighbor's first plane ------
         # ONE batched ppermute for all window components (+ lo words + the
-        # diameter window): per-collective launch overhead dominates the
-        # tiny plane payloads, so fewer/bigger messages win on both the
-        # runtime and real ICI.
+        # diameter window, absent when sigma is uniform): per-collective
+        # launch overhead dominates the tiny plane payloads, so
+        # fewer/bigger messages win on both the runtime and real ICI.
         fwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]   # i sends to i-1
         is_last = p == n_sh - 1
         send = jnp.stack([w[0] for w in win]
                          + ([w[0] for w in win_lo] if hilo else [])
-                         + [win_diam[0]])          # (B, ny, nz, 3C)
+                         + ([] if uni else [win_diam[0]]))  # (B, ny, nz, 3C)
         recv = jax.lax.ppermute(send, axis, fwd)
         ghosts, ghosts_lo = [], []
         for k in range(dim):
@@ -329,15 +343,18 @@ class HaloSlotEngine:
             else:
                 g = g + jnp.where(is_last, cell[k, 0], jnp.zeros((), dtype))
             ghosts.append(g)
-        ghost_diam = recv[-1][None]
         ext = [jnp.concatenate([w, g], axis=0) for w, g in zip(win, ghosts)]
-        ext_diam = jnp.concatenate([win_diam, ghost_diam], axis=0)
+        if uni:
+            ext_diam = win_diam          # scalar
+        else:
+            ext_diam = jnp.concatenate([win_diam, recv[-1][None]], axis=0)
         if hilo:
             ext_lo = [jnp.concatenate([w, g], axis=0)
                       for w, g in zip(win_lo, ghosts_lo)]
 
         own = [g.reshape(n_cells_loc, cap, 1) for g in grids]
-        own_diam3 = diam.reshape(n_cells_loc, cap, 1)
+        own_diam3 = (diam if uni
+                     else diam.reshape(n_cells_loc, cap, 1))
 
         i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
         j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
@@ -347,7 +364,8 @@ class HaloSlotEngine:
 
         def pair_block(wc, wd, exclude_self, wc_lo=None):
             wc = [w.reshape(n_cells_loc, 1, 3 * cap) for w in wc]
-            wd = wd.reshape(n_cells_loc, 1, 3 * cap)
+            if jnp.ndim(wd):
+                wd = wd.reshape(n_cells_loc, 1, 3 * cap)
             if wc_lo is not None:
                 wc_lo = [w.reshape(n_cells_loc, 1, 3 * cap) for w in wc_lo]
                 d_comps = []
@@ -383,6 +401,8 @@ class HaloSlotEngine:
                     + jnp.roll(r[..., 2, :], 1, axis=2))
 
         def yshift(w, oy, gy):
+            if jnp.ndim(w) == 0:     # uniform-sigma scalar passes through
+                return w
             if oy == 1:
                 first = w[:, :1] + gy if gy is not None else w[:, :1]
                 return jnp.concatenate([w[:, 1:], first], axis=1)
@@ -421,7 +441,9 @@ class HaloSlotEngine:
                 wc = [yshift(ext[k][ox:ox + mx] if ox else win[k], oy,
                              cell[k, 1]) for k in range(dim)]
                 wc_lo = None
-            wd = yshift(ext_diam[ox:ox + mx] if ox else win_diam, oy, None)
+            wd = (ext_diam if uni
+                  else yshift(ext_diam[ox:ox + mx] if ox else win_diam, oy,
+                              None))
             u, f_over_r, r2s, d_comps = pair_block(wc, wd, False,
                                                    wc_lo=wc_lo)
             if observables:
