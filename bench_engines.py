@@ -24,7 +24,7 @@ def main(n=65536, cap=None):
     from mdtpu.core.types import NVT, Parameters
     from mdtpu.integrate.step import make_step
     from mdtpu.ops.cell_grid import CellGridEngine
-    from mdtpu.ops.pallas_plane import PallasPlaneEngine
+    from mdtpu.ops.experimental.pallas_plane import PallasPlaneEngine
     from mdtpu.potentials.lennard_jones import LennardJones
 
     rho, temp = 0.8, 1.0
