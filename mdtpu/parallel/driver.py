@@ -82,6 +82,11 @@ def run_simulation_sharded(
     pair sweep for f32 NVE runs on the slot engine."""
     from mdtpu.parallel.halo_slot import HaloSlotEngine
 
+    if state.dimension != 3:
+        raise NotImplementedError(
+            "run_simulation_sharded is 3D-only (x-slab domain decomposition "
+            "of the cell grid); 2D systems at any size the slot layout "
+            "supports fit one chip — use run_simulation")
     if mesh is None:
         mesh = make_mesh(n_devices)
     n = state.n_particles
