@@ -58,9 +58,10 @@ from mdtpu.ops.cell_grid import (
 )
 
 
-def _far_row(n_slots, dtype):
-    return _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(n_slots + 1,
-                                                         dtype=dtype)
+def _far_row(n_slots, dtype, far_k0=0):
+    from mdtpu.ops.cell_grid import far_ramp
+
+    return far_ramp(n_slots + 1, dtype, k0=far_k0)
 
 
 def _scatter_rows(a, addr, n_slots, fill):
@@ -88,14 +89,18 @@ def slotify(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     cap = engine.cell_capacity
     n_cells = int(np.prod(engine.grid))
     n_slots = n_cells * cap
-    if n_slots >= 2 ** 24:
-        # The packed rebin rides ids/images through ONE f32 scatter
-        # (probe_rebin: 21 separate row scatters cost ~16x more); f32 is
-        # integer-exact only below 2^24. Beyond that, shard the system
-        # (mdtpu.parallel) instead of growing one slot space.
+    from mdtpu.ops.cell_grid import FAR_RAMP_MAX
+
+    if n_slots >= FAR_RAMP_MAX:
+        # The far-pad coordinate ramp (mdtpu.ops.cell_grid.far_ramp) keeps
+        # vacant slots exactly-representable and >= 4 apart in f32 up to
+        # 2^28 indices; ids ride the packed f32 rebin as two exact hi/lo
+        # rows (pack_state_rows), so the ramp is the binding budget
+        # (~2.7e8 slots ~ 160M particles per slot space).
         raise ValueError(
-            f"slot layout needs n_cells*capacity < 2^24 for the f32-exact "
-            f"packed rebin (got {n_slots}); use the sharded driver")
+            f"slot layout needs n_cells*capacity < 2^28 (far-pad ramp "
+            f"budget, ~160M particles; got {n_slots}); reduce cell "
+            f"capacity or split the system")
     uni = getattr(engine, "uniform_sigma", 0.0)
     if uni and not isinstance(state.diameters, jax.core.Tracer):
         d = np.asarray(state.diameters)
@@ -250,6 +255,17 @@ def pack_state_rows(state: SimulationState):
     two in sync via this single packer)."""
     dtype = state.positions.dtype
     occ = state.nbrs.occupied
+    if state.ids is None:
+        id_rows = []
+    elif jnp.dtype(dtype).itemsize == 4:
+        # f32 rows hold integers exactly only below 2^24 — split ids into
+        # two exact rows (hi = ids >> 12, lo = ids & 0xfff; vacant -1 maps
+        # to (-1, 4095) and reassembles to -1), so particle identity
+        # survives the packed rebin at any supported system size.
+        id_rows = [(state.ids >> 12).astype(dtype)[None],
+                   (state.ids & 0xfff).astype(dtype)[None]]
+    else:
+        id_rows = [state.ids.astype(dtype)[None]]
     return jnp.concatenate([
         state.positions,                       # dim rows, far-pad fill
         state.velocities,                      # dim rows, 0
@@ -259,8 +275,7 @@ def pack_state_rows(state: SimulationState):
         state.images.astype(dtype),            # dim (int counts, f32-exact)
         state.diameters[None],                 # 1, fill 1
         occ.astype(dtype)[None],               # 1, fill 0
-    ] + ([state.ids.astype(dtype)[None]]       # 1, fill -1 (ids < 2^24)
-         if state.ids is not None else []))
+    ] + id_rows)
 
 
 def unpack_state_rows(state: SimulationState, packed, occupied=None):
@@ -274,6 +289,13 @@ def unpack_state_rows(state: SimulationState, packed, occupied=None):
         sorted_diam=diameters,
         ref_positions=packed[0:dim],
     )
+    if state.ids is None:
+        ids = None
+    elif jnp.dtype(packed.dtype).itemsize == 4:
+        ids = (packed[6 * dim + 2].astype(jnp.int32) * 4096
+               + packed[6 * dim + 3].astype(jnp.int32))
+    else:
+        ids = packed[6 * dim + 2].astype(jnp.int32)
     return state.replace(
         positions=packed[0:dim],
         velocities=packed[dim:2 * dim],
@@ -282,8 +304,7 @@ def unpack_state_rows(state: SimulationState, packed, occupied=None):
         vel_comp=packed[4 * dim:5 * dim],
         images=packed[5 * dim:6 * dim].astype(state.images.dtype),
         diameters=diameters,
-        ids=(packed[6 * dim + 2].astype(jnp.int32)
-             if state.ids is not None else None),
+        ids=ids,
         nbrs=nbrs,
     )
 
@@ -300,9 +321,10 @@ def packed_resort(state: SimulationState, cid, n_cells: int, cap: int,
     f32 scatter (image counts and 0/1 flags are exact in f32).
 
     ``cid``: per-row target cell (= ``n_cells`` for vacant/trash rows).
-    ``far_offset``: added to the vacant-slot far-pad ramp — sharded callers
-    pass a per-device offset so no two devices' vacant slots coincide
-    (coinciding vacants in a ghost exchange would make an r2 = 0 pair).
+    ``far_offset``: far-pad ramp INDEX offset (see
+    :func:`mdtpu.ops.cell_grid.far_ramp`) — sharded callers pass a
+    per-device offset so no two devices' vacant slots coincide (coinciding
+    vacants in a ghost exchange would make an r2 = 0 pair).
     ``extra_rows``/``extra_cid``: additional pre-packed rows (the sharded
     migration buffers received from neighbor shards) resorted along with
     the local rows into the same slot space.
@@ -333,16 +355,22 @@ def packed_resort(state: SimulationState, cid, n_cells: int, cap: int,
     addr_sorted = jnp.where(real & (rank < cap), cid_sorted * cap + rank,
                             n_slots)
 
-    far = _far_row(n_slots, dtype)
-    if far_offset is not None:
-        far = far + far_offset
+    far = _far_row(n_slots, dtype,
+                   far_k0=0 if far_offset is None else far_offset)
+    if state.ids is None:
+        id_fill = []
+    elif jnp.dtype(dtype).itemsize == 4:
+        # Two-row hi/lo ids (pack_state_rows): vacant = (-1, 4095) -> -1.
+        id_fill = [jnp.full((1, n_slots + 1), -1, dtype),
+                   jnp.full((1, n_slots + 1), 4095, dtype)]
+    else:
+        id_fill = [jnp.full((1, n_slots + 1), -1, dtype)]
     base = jnp.concatenate([
         jnp.broadcast_to(far[None], (dim, n_slots + 1)),
         jnp.zeros((5 * dim, n_slots + 1), dtype),
         jnp.ones((1, n_slots + 1), dtype),
         jnp.zeros((1, n_slots + 1), dtype),
-    ] + ([jnp.full((1, n_slots + 1), -1, dtype)]
-         if state.ids is not None else []))
+    ] + id_fill)
     rows_sorted = jnp.take(rows, order, axis=1)    # packed gather
     packed = base.at[:, addr_sorted].set(rows_sorted)[:, :-1]  # packed scatter
 

@@ -41,8 +41,32 @@ from mdtpu.ops.neighbor_list import _grid_for_box
 # Far-pad coordinates for vacant capacity slots: mutually > any cutoff apart
 # and > any cutoff away from every real particle, so the r2 < rc^2 test
 # eliminates them without occupancy masks.
-_FAR_PAD_BASE = 1.0e6
+_FAR_PAD_BASE = 1.0e6     # vacancy-detection threshold anchor (halo row engine)
 _FAR_PAD_SPACING = 4.0
+# far_ramp index budget: beyond this the squared far-far displacements
+# overflow f32 to inf and 0 * inf = NaN would leak into vacant-slot forces.
+FAR_RAMP_MAX = 1 << 28
+
+
+def far_ramp(count, dtype, k0=0):
+    """``count`` far-pad coordinates for ramp indices k0..k0+count-1.
+
+    Every value is EXACTLY representable in f32 and consecutive values
+    differ by >= 4 (> any practical cutoff) even after f32 rounding, for
+    indices up to ``FAR_RAMP_MAX`` (2.7e8 slots): index k maps to
+    ``exp2(k >> 23) * (2^25 + 4 * (k mod 2^23))`` — within each 2^23-index
+    binade the values are multiples of ``4 * 2^e`` inside
+    [2^25 * 2^e, 2^26 * 2^e), which is exactly the f32 ulp there. A plain
+    ``base + 4 * k`` ramp collapses adjacent values once ``4 * k`` passes
+    2^26 (ulp 8 > spacing 4) — r2 = 0 vacant pairs would put inf/NaN into
+    the maskless pair sweep. ``k0`` may be a traced int32 (sharded callers
+    pass a per-device offset so no two devices' vacants coincide)."""
+    k = jnp.asarray(k0, jnp.int32) + jnp.arange(count, dtype=jnp.int32)
+    e = k >> 23
+    m = (k & ((1 << 23) - 1)).astype(dtype)
+    # ldexp, not exp2: XLA lowers exp2 as exp(x*ln2), which is a few ulp
+    # off and would break the exact-representability guarantee.
+    return jnp.ldexp(jnp.asarray(float(1 << 25), dtype) + 4.0 * m, e)
 
 
 def refresh_far_grids(positions, nbrs, grid, cap, cell, cell_inv):
@@ -61,7 +85,7 @@ def refresh_far_grids(positions, nbrs, grid, cap, cell, cell_inv):
     eff = nbrs.ref_positions + minimum_image(
         positions - nbrs.ref_positions, cell, cell_inv)
     eff_t = eff.T
-    far = _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(pad, dtype=dtype)
+    far = far_ramp(pad, dtype)
     grids = []
     for k in range(dim):
         g = far.at[nbrs.addr].set(eff_t[k])[:-1]

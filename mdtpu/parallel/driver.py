@@ -385,7 +385,7 @@ def _run_sharded_slot(
     def restore(seg_start, engine):
         try:
             return build_sharded_slot_state(
-                unshard_slot_state(seg_start, engine), engine, mesh)
+                unshard_slot_state(seg_start), engine, mesh)
         except ValueError:
             return None  # initial binning still too tight: grow again
 
@@ -400,7 +400,7 @@ def _run_sharded_slot(
         build_advance=build_advance,
         grow_engine=grow_engine,
         restore=restore,
-        to_particle_state=lambda s: unshard_slot_state(s, engine),
+        to_particle_state=unshard_slot_state,
         use_slot=True, is_brownian=is_brownian, ensemble=ensemble,
         n=n, dim=dim, volume=volume, density=density,
         e_lrc=e_lrc, p_lrc=p_lrc, diameters_np=diameters_np,
@@ -409,7 +409,7 @@ def _run_sharded_slot(
         checkpoint_every=checkpoint_every, pathname=pathname,
         thermo_file=thermo_file, traj_writer=traj_writer, perf_log=perf_log)
 
-    final = unshard_slot_state(sh, engine)
+    final = unshard_slot_state(sh)
     finalize_simulation(trajectory_file, pathname, end_step, final,
                         compress=False)
     return final

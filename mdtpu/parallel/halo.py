@@ -40,6 +40,7 @@ from mdtpu.core.types import SimulationState
 from mdtpu.ops.cell_grid import (
     _FAR_PAD_BASE,
     _FAR_PAD_SPACING,
+    far_ramp,
     ghost_z_window,
 )
 from mdtpu.ops.neighbor_list import _grid_for_box
@@ -249,9 +250,7 @@ class HaloCellGridEngine:
         disp = minimum_image(positions - nbrs.ref_positions, cell, cell_inv)
         eff_t = (nbrs.ref_positions + disp).T
         drift2 = jnp.sum(disp * disp, axis=-1)
-        stride = _FAR_PAD_SPACING * (pad + 1)
-        far = (_FAR_PAD_BASE + p.astype(dtype) * stride
-               + _FAR_PAD_SPACING * jnp.arange(pad, dtype=dtype))
+        far = far_ramp(pad, dtype, k0=p * (pad + 1))
         grids = [far.at[nbrs.addr].set(eff_t[k])[:-1].reshape(mx, ny, nz, cap)
                  for k in range(dim)]
         # Pad rows (trash address) carry meaningless drift — exclude them.
@@ -423,8 +422,7 @@ def pad_state(state: SimulationState, engine: HaloCellGridEngine,
     dtype = state.positions.dtype
     dim = state.positions.shape[1]
 
-    far = (_FAR_PAD_BASE
-           + _FAR_PAD_SPACING * jnp.arange(n, n_pad, dtype=dtype))
+    far = far_ramp(n_pad - n, dtype, k0=n)
     pad_pos = jnp.stack([far] * dim, axis=-1)
 
     def pad_rows(a, fill):
@@ -524,8 +522,7 @@ def reshard(state: SimulationState, engine: HaloCellGridEngine):
     # must be surfaced (grow the margin / re-pad and retry).
     overflow = jnp.any(is_real & (~slot_ok))
 
-    far = _FAR_PAD_BASE + _FAR_PAD_SPACING * jnp.arange(n_pad + 1,
-                                                        dtype=dtype)
+    far = far_ramp(n_pad + 1, dtype)
 
     def permute(a, fill):
         if a is None:

@@ -150,7 +150,6 @@ class HaloSlotEngine:
         from mdtpu.integrate.slot_step import (_frac_components,
                                                pack_state_rows,
                                                packed_resort)
-        from mdtpu.ops.cell_grid import _FAR_PAD_SPACING
         from mdtpu.utils.math import kahan_add
 
         dim = state.positions.shape[0]
@@ -161,7 +160,10 @@ class HaloSlotEngine:
         n_cells_loc = mx * ny * nz
         n_slots = self.local_slots
         n_sh = self.n_shards
-        K = self.migration_capacity
+        # top_k requires k <= operand size; a migration buffer bigger than
+        # the slab itself is meaningless anyway (small systems / default
+        # field values).
+        K = min(self.migration_capacity, n_slots)
         axis = self.axis_name
         p = jax.lax.axis_index(axis)
         occ = state.nbrs.occupied
@@ -263,10 +265,10 @@ class HaloSlotEngine:
         extra_cid = (e_ix * ny + e_cy) * nz + e_cz
         extra_cid = jnp.where(extra_occ, extra_cid, n_cells_loc)
 
-        # Per-device far-pad offset: vacant slots of different shards must
-        # never coincide (a ghost-exchange r2 = 0 pair would NaN).
-        far_offset = (p.astype(dtype)
-                      * (_FAR_PAD_SPACING * (self.local_slots + 2)))
+        # Per-device far-pad ramp INDEX offset: vacant slots of different
+        # shards must never coincide (a ghost-exchange r2 = 0 pair would
+        # NaN). Disjoint index ranges into the global far_ramp sequence.
+        far_offset = p * (self.local_slots + 1)
         state, cap_overflow = packed_resort(state, cid, n_cells_loc, cap,
                                             far_offset=far_offset,
                                             extra_rows=extra,
@@ -561,8 +563,7 @@ def make_sharded_slot_advance(params, ensemble, engine: HaloSlotEngine,
     return jax.jit(fn)
 
 
-def unshard_slot_state(state: SimulationState,
-                       engine: HaloSlotEngine) -> SimulationState:
+def unshard_slot_state(state: SimulationState) -> SimulationState:
     """Host-side: restore a sharded slot state to ordinary (N, d) particle
     order (ids-sorted) — delegates to the single-chip unslotify."""
     from mdtpu.integrate.slot_step import unslotify_state

@@ -117,19 +117,24 @@ def _pack_output_rows(state, use_slot, n):
         implied (exactly the n gathered rows; particle loss is caught by the
         scalar-vector count before any row is consumed).
 
-    Images and ids are integer-exact in the position dtype (ids < 2^24 is
-    enforced at slotify). The unitcell is constant for a run and pulled once
-    by the driver, not per event."""
+    Images are integer-exact in the position dtype; f32 ids ride as two
+    exact hi/lo rows (same encoding as
+    mdtpu.integrate.slot_step.pack_state_rows). The unitcell is constant
+    for a run and pulled once by the driver, not per event."""
     dt = state.positions.dtype
     if use_slot:
         (idx,) = jnp.nonzero(state.nbrs.occupied, size=n,
                              fill_value=state.nbrs.occupied.shape[0] - 1)
+        if jnp.dtype(dt).itemsize == 4:
+            id_rows = [(state.ids >> 12).astype(dt)[None],
+                       (state.ids & 0xfff).astype(dt)[None]]
+        else:
+            id_rows = [state.ids.astype(dt)[None]]
         rows = jnp.concatenate([
             state.positions,                        # (d, S)
             state.images.astype(dt),                # (d, S)
-            state.ids.astype(dt)[None],             # (1, S)
-        ], axis=0)
-        return jnp.take(rows, idx, axis=1)          # (2d+1, n)
+        ] + id_rows, axis=0)
+        return jnp.take(rows, idx, axis=1)          # (2d+1 or 2d+2, n)
     return jnp.concatenate([
         state.positions.T,                          # (d, N)
         state.images.astype(dt).T,                  # (d, N)
@@ -140,9 +145,14 @@ def _unpack_output_rows(rows_dev, dim, use_slot):
     rows = np.asarray(rows_dev)  # the ONE row transfer of the event
     if use_slot:
         # flush() consumes slot rows component-major (compacted, unordered).
+        if rows.shape[0] == 2 * dim + 2:            # f32 hi/lo id rows
+            ids = (rows[2 * dim].astype(np.int64) * 4096
+                   + rows[2 * dim + 1].astype(np.int64))
+        else:
+            ids = rows[2 * dim].astype(np.int64)
         return {"positions": rows[0:dim],
                 "images": rows[dim:2 * dim].astype(np.int32),
-                "ids": rows[2 * dim].astype(np.int64)}
+                "ids": ids}
     return {"positions": rows[0:dim].T,
             "images": rows[dim:2 * dim].T.astype(np.int32)}
 
@@ -222,12 +232,14 @@ def _event_schedule(start_step, total_steps, frequency, traj_frequency,
     if log_times:
         snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
         snap_set = set([0] + [s for s in snaps if s < end_step])
-    thermo_steps = set(s for s in range(start_step, end_step)
-                       if s % frequency == 0)
+    # Stepped ranges, not per-step scans: O(n_events), so a 1e8-step run
+    # doesn't spend host time enumerating every step twice.
+    thermo_steps = set(range(start_step + (-start_step) % frequency,
+                             end_step, frequency))
     if traj_frequency is None:
         traj_frequency = frequency
-    traj_steps = set(s for s in range(start_step, end_step)
-                     if s % traj_frequency == 0)
+    traj_steps = set(range(start_step + (-start_step) % traj_frequency,
+                           end_step, traj_frequency))
     return thermo_steps, traj_steps, snap_set
 
 
@@ -373,7 +385,13 @@ def _drive_events(state, engine, advance, *,
         never drop rows on overflow, but the same restore-and-rerun gives
         them trajectories free of transiently-degraded forces."""
         K = len(batch)
-        B = _bucket(K)
+        # Engines whose advance carries collectives (rebin_unconditional)
+        # run their final full step even for a zero-length segment —
+        # lax.cond around collectives is not SPMD-safe — so advance(s, 0)
+        # != s for them and zero padding would execute REAL extra steps
+        # (measured: step count drifted past total_steps). Exact-size
+        # batches cost at most a few more compiles (one per distinct K).
+        B = K if getattr(engine, "rebin_unconditional", False) else _bucket(K)
         lengths = np.zeros(B, np.int32)
         flags = np.zeros(B, np.int32)
         for i, (ev, n_adv) in enumerate(batch):
@@ -448,23 +466,35 @@ def _drive_events(state, engine, advance, *,
         meter = StepRateMeter(os.path.join(pathname, "perf.txt"))
 
     pending = []  # previous batch's (step_label, host data), not yet written
-    for batch in batches:
-        state, engine, advance, outputs = run_batch(
-            state, engine, advance, batch,
-            on_dispatched=lambda p=pending: [flush(item) for item in p])
-        last_ev = batch[-1][0]
-        if meter is not None:
-            meter.tick(last_ev, sum(n_adv for _, n_adv in batch))
-        pending = outputs
-        if last_ev in checkpoint_steps:
-            from mdtpu.io.checkpoint import save_checkpoint
+    try:
+        for batch in batches:
+            state, engine, advance, outputs = run_batch(
+                state, engine, advance, batch,
+                on_dispatched=lambda p=pending: [flush(item) for item in p])
+            last_ev = batch[-1][0]
+            if meter is not None:
+                meter.tick(last_ev, sum(n_adv for _, n_adv in batch))
+            pending = outputs
+            if last_ev in checkpoint_steps:
+                from mdtpu.io.checkpoint import save_checkpoint
 
-            save_checkpoint(to_particle_state(state),
-                            os.path.join(pathname, f"checkpoint.{last_ev}.npz"))
+                save_checkpoint(to_particle_state(state),
+                                os.path.join(pathname,
+                                             f"checkpoint.{last_ev}.npz"))
 
-    for item in pending:
-        flush(item)
-    traj_writer.close()
+        for item in pending:
+            flush(item)
+        pending = []
+    finally:
+        # A mid-run raise (divergence, capacity-grow exhaustion) must not
+        # lose the already-completed frames buffered in the async writer —
+        # they are exactly the trajectory tail one debugs the failure with.
+        try:
+            for item in pending:
+                flush(item)
+        except Exception:
+            pass
+        traj_writer.close()
     return state, engine, advance
 
 
@@ -512,6 +542,10 @@ def run_simulation(
     remote-tunnel TPU that host pull dominates high-frequency output cost."""
     from mdtpu.ops import select_engine
 
+    # Validate arguments BEFORE open_files truncates a previous run's
+    # outputs — a typo'd precision= must not destroy data.
+    if precision not in ("auto", "f32x2", "plain"):
+        raise ValueError(f"precision must be auto/f32x2/plain, got {precision!r}")
     if engine is None:
         engine = select_engine(params.potential, state.cutoff, state)
 
@@ -555,8 +589,6 @@ def run_simulation(
                 and state.dimension == len(engine.grid)
                 and state.dimension in (2, 3)
                 and compensated)
-    if precision not in ("auto", "f32x2", "plain"):
-        raise ValueError(f"precision must be auto/f32x2/plain, got {precision!r}")
     from mdtpu.core.types import NVE
 
     hilo = use_slot and (
@@ -594,8 +626,12 @@ def run_simulation(
             state = state.replace(forces=f0, energy=e0, virial=w0, nbrs=nbrs)
 
     def build_advance(engine):
+        # n is part of the key: _pack_output_rows bakes jnp.nonzero(size=n)
+        # into the program, so reusing it across particle counts (same
+        # tuned engine geometry for nearby N) would truncate or pad the
+        # output rows.
         key = (params, ensemble, engine, compensated, hilo, use_slot,
-               is_brownian)
+               is_brownian, n)
         try:
             cached = _ADVANCE_CACHE.get(key)
         except TypeError:

@@ -534,7 +534,7 @@ def test_pack_output_rows_roundtrip_slot():
     assert sl.positions.shape[1] > n  # padded slot space
 
     rows = jax.jit(lambda s: _pack_output_rows(s, True, n))(sl)
-    assert rows.shape == (2 * 3 + 1, n)
+    assert rows.shape == (2 * 3 + 2, n)  # f32: ids ride as hi/lo rows
     dev = _unpack_output_rows(rows, 3, True)
 
     ids = dev["ids"]

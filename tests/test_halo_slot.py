@@ -71,7 +71,7 @@ def test_halo_slot_advance_matches_single_chip(mesh, ens_name):
     sh = adv(sh, 40)
     jax.block_until_ready(sh.positions)
     assert not bool(np.asarray(sh.nbrs.overflow).any())
-    out = unshard_slot_state(sh, eng)
+    out = unshard_slot_state(sh)
 
     assert int(sh.step) == 40
     np.testing.assert_allclose(np.asarray(out.positions),
@@ -100,7 +100,7 @@ def test_halo_slot_brownian_runs(mesh):
     jax.block_until_ready(sh.positions)
     assert int(sh.step) == 25
     assert int(sh.nprom) == 3  # steps 0, 10, 20
-    out = unshard_slot_state(sh, eng)
+    out = unshard_slot_state(sh)
     assert out.positions.shape == (state.n_particles, 3)
     assert np.isfinite(np.asarray(out.positions)).all()
 
@@ -132,7 +132,7 @@ def test_halo_slot_migration_stays_exact(mesh):
     jax.block_until_ready(sh.positions)
     assert not bool(np.asarray(sh.nbrs.overflow).any())
     ref_out = unslotify_state(ref)
-    out = unshard_slot_state(sh, eng)
+    out = unshard_slot_state(sh)
     np.testing.assert_allclose(np.asarray(out.positions),
                                np.asarray(ref_out.positions),
                                rtol=1e-8, atol=1e-8)
@@ -241,7 +241,7 @@ def test_halo_slot_hilo_advance_matches_single_chip(mesh):
     sh = adv(sh, 40)
     jax.block_until_ready(sh.positions)
     assert not bool(np.asarray(sh.nbrs.overflow).any())
-    out = unshard_slot_state(sh, eng)
+    out = unshard_slot_state(sh)
 
     assert int(sh.step) == 40
     np.testing.assert_allclose(np.asarray(out.positions),

@@ -396,3 +396,37 @@ def test_sharded_migration_and_emergency_reshard(mesh, tmp_path):
     dx = float(np.abs(np.asarray(out.images)[0, 0] * state.unitcell[0, 0]
                       + out.positions[0, 0] - state.positions[0, 0]))
     assert dx > float(state.unitcell[0, 0]) / 8
+
+
+def test_sharded_decoupled_cadence_no_extra_steps(mesh, tmp_path):
+    """Batches of thermo events between trajectory events do NOT pad to
+    bucket sizes for collective-bearing engines: a zero-length pad segment
+    would run the (unconditional) final full step and silently advance the
+    physics past the host's step bookkeeping (regression: 65-step run came
+    back at step 67). Also pins thermo step labels and row-for-row parity
+    vs the single-device driver at the same decoupled cadence."""
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.sim.driver import run_simulation
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+
+    # frequency=10, traj_frequency=30, total=65: the (10, 20, 30) and
+    # (40, 50, 60) event groups are K=3 batches (bucket 4 would pad).
+    out = run_simulation_sharded(state, params, NVE(), 65, 10,
+                                 str(tmp_path / "sh"), mesh=mesh,
+                                 traj_frequency=30)
+    assert int(out.step) == 65
+
+    ref_eng = CellGridEngine.create(pot, 1.5, 0.3,
+                                    np.asarray(state.unitcell), n)
+    run_simulation(state, params, NVE(), 65, 10, str(tmp_path / "ref"),
+                   engine=ref_eng, traj_frequency=30, precision="plain")
+    sh = np.loadtxt(tmp_path / "sh" / "thermo.txt")
+    ref = np.loadtxt(tmp_path / "ref" / "thermo.txt")
+    np.testing.assert_array_equal(sh[:, 0], ref[:, 0])  # step labels
+    np.testing.assert_allclose(sh[:, 1:], ref[:, 1:], rtol=2e-5, atol=2e-5)

@@ -166,7 +166,7 @@ def test_halo_slot_uniform_matches_single_chip():
     sh = adv(sh, 40)
     jax.block_until_ready(sh.positions)
     assert not bool(np.asarray(sh.nbrs.overflow).any())
-    out = unshard_slot_state(sh, eng)
+    out = unshard_slot_state(sh)
     np.testing.assert_allclose(np.asarray(out.positions),
                                np.asarray(ref_out.positions),
                                rtol=1e-9, atol=1e-9)
