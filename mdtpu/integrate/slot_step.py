@@ -51,17 +51,42 @@ from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
 from mdtpu.integrate.step import (_add, brownian_noise,
                                   brownian_virial_sample, md_velocity_finish)
 from mdtpu.ops.cell_grid import (
-    _FAR_PAD_BASE,
-    _FAR_PAD_SPACING,
+    FAR_RAMP_MAX,
     CellGridEngine,
     CellGridState,
+    far_ramp,
 )
 
 
 def _far_row(n_slots, dtype, far_k0=0):
-    from mdtpu.ops.cell_grid import far_ramp
-
     return far_ramp(n_slots + 1, dtype, k0=far_k0)
+
+
+def split_id_rows(ids, dtype):
+    """Particle ids (int32) as rows that are integer-EXACT in ``dtype``.
+
+    f32 rows hold integers exactly only below 2^24, so ids split into two
+    rows (hi = ids >> 12, lo = ids & 0xfff; vacant -1 maps to (-1, 4095)
+    and reassembles to -1) — particle identity survives the packed f32
+    rebin and the output-row transfer at any supported system size. The
+    ONLY encode site; decode with :func:`join_id_rows`, vacant fill values
+    from :func:`id_row_fills`."""
+    if jnp.dtype(dtype).itemsize == 4:
+        return [(ids >> 12).astype(dtype)[None],
+                (ids & 0xfff).astype(dtype)[None]]
+    return [ids.astype(dtype)[None]]
+
+
+def id_row_fills(dtype):
+    """Vacant-slot fill value per id row of :func:`split_id_rows`."""
+    return (-1, 4095) if jnp.dtype(dtype).itemsize == 4 else (-1,)
+
+
+def join_id_rows(hi, lo=None, out_dtype=jnp.int32):
+    """Inverse of :func:`split_id_rows`; works on jnp and np arrays."""
+    if lo is None:
+        return hi.astype(out_dtype)
+    return hi.astype(out_dtype) * 4096 + lo.astype(out_dtype)
 
 
 def _scatter_rows(a, addr, n_slots, fill):
@@ -89,8 +114,6 @@ def slotify(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     cap = engine.cell_capacity
     n_cells = int(np.prod(engine.grid))
     n_slots = n_cells * cap
-    from mdtpu.ops.cell_grid import FAR_RAMP_MAX
-
     if n_slots >= FAR_RAMP_MAX:
         # The far-pad coordinate ramp (mdtpu.ops.cell_grid.far_ramp) keeps
         # vacant slots exactly-representable and >= 4 apart in f32 up to
@@ -255,17 +278,7 @@ def pack_state_rows(state: SimulationState):
     two in sync via this single packer)."""
     dtype = state.positions.dtype
     occ = state.nbrs.occupied
-    if state.ids is None:
-        id_rows = []
-    elif jnp.dtype(dtype).itemsize == 4:
-        # f32 rows hold integers exactly only below 2^24 — split ids into
-        # two exact rows (hi = ids >> 12, lo = ids & 0xfff; vacant -1 maps
-        # to (-1, 4095) and reassembles to -1), so particle identity
-        # survives the packed rebin at any supported system size.
-        id_rows = [(state.ids >> 12).astype(dtype)[None],
-                   (state.ids & 0xfff).astype(dtype)[None]]
-    else:
-        id_rows = [state.ids.astype(dtype)[None]]
+    id_rows = [] if state.ids is None else split_id_rows(state.ids, dtype)
     return jnp.concatenate([
         state.positions,                       # dim rows, far-pad fill
         state.velocities,                      # dim rows, 0
@@ -292,10 +305,9 @@ def unpack_state_rows(state: SimulationState, packed, occupied=None):
     if state.ids is None:
         ids = None
     elif jnp.dtype(packed.dtype).itemsize == 4:
-        ids = (packed[6 * dim + 2].astype(jnp.int32) * 4096
-               + packed[6 * dim + 3].astype(jnp.int32))
+        ids = join_id_rows(packed[6 * dim + 2], packed[6 * dim + 3])
     else:
-        ids = packed[6 * dim + 2].astype(jnp.int32)
+        ids = join_id_rows(packed[6 * dim + 2])
     return state.replace(
         positions=packed[0:dim],
         velocities=packed[dim:2 * dim],
@@ -357,14 +369,9 @@ def packed_resort(state: SimulationState, cid, n_cells: int, cap: int,
 
     far = _far_row(n_slots, dtype,
                    far_k0=0 if far_offset is None else far_offset)
-    if state.ids is None:
-        id_fill = []
-    elif jnp.dtype(dtype).itemsize == 4:
-        # Two-row hi/lo ids (pack_state_rows): vacant = (-1, 4095) -> -1.
-        id_fill = [jnp.full((1, n_slots + 1), -1, dtype),
-                   jnp.full((1, n_slots + 1), 4095, dtype)]
-    else:
-        id_fill = [jnp.full((1, n_slots + 1), -1, dtype)]
+    id_fill = ([] if state.ids is None else
+               [jnp.full((1, n_slots + 1), f, dtype)
+                for f in id_row_fills(dtype)])
     base = jnp.concatenate([
         jnp.broadcast_to(far[None], (dim, n_slots + 1)),
         jnp.zeros((5 * dim, n_slots + 1), dtype),

@@ -41,11 +41,12 @@ from mdtpu.ops.neighbor_list import _grid_for_box
 # Far-pad coordinates for vacant capacity slots: mutually > any cutoff apart
 # and > any cutoff away from every real particle, so the r2 < rc^2 test
 # eliminates them without occupancy masks.
-_FAR_PAD_BASE = 1.0e6     # vacancy-detection threshold anchor (halo row engine)
-_FAR_PAD_SPACING = 4.0
 # far_ramp index budget: beyond this the squared far-far displacements
 # overflow f32 to inf and 0 * inf = NaN would leak into vacant-slot forces.
 FAR_RAMP_MAX = 1 << 28
+# Smallest far_ramp value; vacancy thresholds derive from this (halo row
+# engine classifies rows as pad when a coordinate exceeds half of it).
+FAR_RAMP_MIN = float(1 << 25)
 
 
 def far_ramp(count, dtype, k0=0):
@@ -60,13 +61,22 @@ def far_ramp(count, dtype, k0=0):
     ``base + 4 * k`` ramp collapses adjacent values once ``4 * k`` passes
     2^26 (ulp 8 > spacing 4) — r2 = 0 vacant pairs would put inf/NaN into
     the maskless pair sweep. ``k0`` may be a traced int32 (sharded callers
-    pass a per-device offset so no two devices' vacants coincide)."""
+    pass a per-device offset so no two devices' vacants coincide); static
+    callers are budget-checked here."""
+    if isinstance(k0, (int, np.integer)) and k0 + count > FAR_RAMP_MAX:
+        raise ValueError(
+            f"far_ramp budget exceeded: {k0 + count} > {FAR_RAMP_MAX} "
+            f"(squared far coordinates would overflow f32)")
     k = jnp.asarray(k0, jnp.int32) + jnp.arange(count, dtype=jnp.int32)
     e = k >> 23
     m = (k & ((1 << 23) - 1)).astype(dtype)
-    # ldexp, not exp2: XLA lowers exp2 as exp(x*ln2), which is a few ulp
-    # off and would break the exact-representability guarantee.
-    return jnp.ldexp(jnp.asarray(float(1 << 25), dtype) + 4.0 * m, e)
+    # 2^e built by bit-casting the f32 exponent field — exact by
+    # construction. Not exp2/ldexp/power: XLA lowers those through the
+    # approximate exp/log path on TPU (a few ulp off), which would break
+    # the exact-representability guarantee this ramp exists for.
+    two_e = jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32).astype(dtype)
+    return two_e * (jnp.asarray(FAR_RAMP_MIN, dtype) + 4.0 * m)
 
 
 def refresh_far_grids(positions, nbrs, grid, cap, cell, cell_inv):

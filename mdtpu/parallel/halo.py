@@ -38,15 +38,18 @@ from flax import struct
 
 from mdtpu.core.types import SimulationState
 from mdtpu.ops.cell_grid import (
-    _FAR_PAD_BASE,
-    _FAR_PAD_SPACING,
+    FAR_RAMP_MAX,
+    FAR_RAMP_MIN,
     far_ramp,
     ghost_z_window,
 )
 from mdtpu.ops.neighbor_list import _grid_for_box
 from mdtpu.parallel.mesh import SHARD_AXIS
 
-_FAR_THRESHOLD = 0.5 * _FAR_PAD_BASE
+# Rows whose coordinate exceeds this are pad/vacant. Derived from the far
+# ramp's minimum so the invariant (every far value > threshold > every real
+# coordinate) cannot silently break if the ramp changes.
+_FAR_THRESHOLD = 0.5 * FAR_RAMP_MIN
 
 
 @struct.dataclass
@@ -250,6 +253,8 @@ class HaloCellGridEngine:
         disp = minimum_image(positions - nbrs.ref_positions, cell, cell_inv)
         eff_t = (nbrs.ref_positions + disp).T
         drift2 = jnp.sum(disp * disp, axis=-1)
+        if self.n_shards * (pad + 1) > FAR_RAMP_MAX:
+            raise ValueError("sharded far-pad ramp budget exceeded")
         far = far_ramp(pad, dtype, k0=p * (pad + 1))
         grids = [far.at[nbrs.addr].set(eff_t[k])[:-1].reshape(mx, ny, nz, cap)
                  for k in range(dim)]

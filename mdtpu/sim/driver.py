@@ -121,15 +121,13 @@ def _pack_output_rows(state, use_slot, n):
     exact hi/lo rows (same encoding as
     mdtpu.integrate.slot_step.pack_state_rows). The unitcell is constant
     for a run and pulled once by the driver, not per event."""
+    from mdtpu.integrate.slot_step import split_id_rows
+
     dt = state.positions.dtype
     if use_slot:
         (idx,) = jnp.nonzero(state.nbrs.occupied, size=n,
                              fill_value=state.nbrs.occupied.shape[0] - 1)
-        if jnp.dtype(dt).itemsize == 4:
-            id_rows = [(state.ids >> 12).astype(dt)[None],
-                       (state.ids & 0xfff).astype(dt)[None]]
-        else:
-            id_rows = [state.ids.astype(dt)[None]]
+        id_rows = split_id_rows(state.ids, dt)
         rows = jnp.concatenate([
             state.positions,                        # (d, S)
             state.images.astype(dt),                # (d, S)
@@ -142,14 +140,16 @@ def _pack_output_rows(state, use_slot, n):
 
 
 def _unpack_output_rows(rows_dev, dim, use_slot):
+    from mdtpu.integrate.slot_step import join_id_rows
+
     rows = np.asarray(rows_dev)  # the ONE row transfer of the event
     if use_slot:
         # flush() consumes slot rows component-major (compacted, unordered).
         if rows.shape[0] == 2 * dim + 2:            # f32 hi/lo id rows
-            ids = (rows[2 * dim].astype(np.int64) * 4096
-                   + rows[2 * dim + 1].astype(np.int64))
+            ids = join_id_rows(rows[2 * dim], rows[2 * dim + 1],
+                               out_dtype=np.int64)
         else:
-            ids = rows[2 * dim].astype(np.int64)
+            ids = join_id_rows(rows[2 * dim], out_dtype=np.int64)
         return {"positions": rows[0:dim],
                 "images": rows[dim:2 * dim].astype(np.int32),
                 "ids": ids}
