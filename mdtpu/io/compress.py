@@ -29,6 +29,9 @@ def compress_zstd(filepath, level: int = 3, remove_original: bool = True) -> str
 
 def decompress_zstd(filepath, remove_original: bool = False) -> str:
     """Inverse of compress_zstd (utility; not present in the reference)."""
+    if _zstd is None:
+        raise RuntimeError(
+            "zstandard package is unavailable; cannot decompress")
     if not filepath.endswith(".zst"):
         raise ValueError("expected a .zst file")
     output_file = filepath[: -len(".zst")]

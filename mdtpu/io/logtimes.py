@@ -32,7 +32,6 @@ def generate_log_times(max_iter: int = 10000, logn: int = 40,
     """
     maxlog = math.floor(logbase ** logn)
     i = np.arange(logn + 1)
-    base_pows = np.floor(logbase ** i).astype(np.int64)
     if max_step is not None:
         max_iter = min(max_iter, max(0, int(max_step // maxlog) + 1))
     j = np.arange(max_iter + 1, dtype=np.int64)

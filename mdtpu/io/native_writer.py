@@ -116,6 +116,7 @@ class PythonTrajectoryWriter:
         self._compress = compress
         self._path = path
         self._queue: "queue.Queue" = queue.Queue()
+        self._error = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._io = open(path, "wb")
         self._cctx = None
@@ -138,7 +139,11 @@ class PythonTrajectoryWriter:
             item = self._queue.get()
             if item is None:
                 return
-            self._sink(item)
+            try:
+                self._sink(item)
+            except Exception as exc:  # surface at close(); keep draining
+                if self._error is None:
+                    self._error = exc
 
     def write_frame(self, step, unitcell, positions, images, diameters):
         from mdtpu.io.lammps import format_lammps_frame
@@ -156,6 +161,11 @@ class PythonTrajectoryWriter:
             self._zwriter.close()
         else:
             self._io.close()
+        if self._error is not None:
+            # A failed disk write (e.g. disk full) must not read as a
+            # successfully written trajectory.
+            raise RuntimeError(
+                f"trajectory writer failed mid-run: {self._error!r}")
 
 
 def open_trajectory_writer(path, compress=False, level=3):

@@ -137,30 +137,43 @@ def run_simulation_sharded(
     padded = pad_state(state, engine, margin=margin)
     sh = do_reshard(padded)
 
+    # Jitted programs cached across run calls (rebuilding the closures
+    # re-traces and re-compiles the fused sharded program — ~60 s each on
+    # the remote TPU tunnel; same rationale as _ADVANCE_CACHE /
+    # _SHARDED_ADVANCE_CACHE).
+    forces_fn, advance, event_scalars, output_rows = _row_programs(
+        params, ensemble, engine, mesh, compensated, float(state.cutoff),
+        n, trash)
+
     # Initial forces (the first half-kick must not use zeros; same deliberate
     # fix as the single-device driver).
-    from jax.sharding import PartitionSpec as P
-
-    ax = engine.axis_name
-    forces_fn = jax.jit(jax.shard_map(
-        lambda x, d, c, ci, nb: engine.compute(x, d, c, ci, nb)[:3],
-        mesh=mesh,
-        in_specs=(P(ax), P(ax), P(), P(), engine.nbrs_partition_specs()),
-        out_specs=(P(), P(), P(ax)),
-        check_vma=False,
-    ))
     if not is_brownian:
         e0, w0, f0 = forces_fn(sh.positions, sh.diameters, sh.unitcell,
                                sh.unitcell_inv, sh.nbrs)
         sh = sh.replace(forces=f0, energy=e0, virial=w0)
 
-    step = make_shard_map_step(params, ensemble, engine, mesh,
-                               compensated=compensated,
-                               state_cutoff=float(state.cutoff))
+    # Diameters are run-constant: keep them host-side in original particle
+    # order, never transfer them per event (same rule as the slot driver).
+    diameters_np = np.asarray(state.diameters)
 
-    @jax.jit
-    def advance(s, k):
-        return jax.lax.fori_loop(0, k, lambda i, x: step(x), s)
+    def host_rows(s):
+        """Pull valid rows to the host in original particle order."""
+        from mdtpu.integrate.slot_step import join_id_rows
+
+        rows = np.asarray(output_rows(s))    # the ONE row transfer
+        if rows.shape[0] == 2 * dim + 2:     # f32 hi/lo id rows
+            ids = join_id_rows(rows[2 * dim], rows[2 * dim + 1],
+                               out_dtype=np.int64)
+        else:
+            ids = join_id_rows(rows[2 * dim], out_dtype=np.int64)
+        order = np.argsort(ids)
+        if ids[order[0]] < 0 or np.unique(ids).size != n:
+            raise RuntimeError(
+                f"sharded state does not hold all {n} particles — "
+                f"slab/capacity overflow recovery failed")
+        pos = rows[0:dim].T[order]
+        img = rows[dim:2 * dim].T[order].astype(np.int32)
+        return pos, img, diameters_np
 
     if reshard_every is None:
         reshard_every = frequency
@@ -169,31 +182,24 @@ def run_simulation_sharded(
     end_step = start_step + total_steps
     snap_set = set()
     if log_times:
-        snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
+        # end_step, not total_steps: a resumed run must keep snapshotting
+        # on the original log-time schedule past its restart point.
+        snaps = generate_log_times(save_dir=pathname, max_step=end_step)
         snap_set = set([0] + [s for s in snaps if s < end_step])
-    thermo_steps = set(range(start_step, end_step, frequency))
+        snap_set = set(s for s in snap_set if s >= start_step) \
+            | ({0} if start_step == 0 else set())
+    # Frequency-aligned labels (like _event_schedule): resumed runs keep
+    # the original cadence instead of an offset one.
+    thermo_steps = set(range(start_step + (-start_step) % frequency,
+                             end_step, frequency))
     traj_steps = (thermo_steps if traj_frequency is None else
-                  set(range(start_step, end_step, traj_frequency)))
+                  set(range(start_step + (-start_step) % traj_frequency,
+                            end_step, traj_frequency)))
     events = sorted(
         s for s in (thermo_steps | traj_steps | snap_set
                     | set(range(start_step, end_step, reshard_every)))
         if s >= start_step)
     since_reshard = 0
-
-    def host_rows(s):
-        """Pull valid rows to the host in original particle order."""
-        addr = np.asarray(s.nbrs.addr)
-        valid = addr < trash
-        ids = np.asarray(s.ids)[valid]
-        if ids.size != n:
-            raise RuntimeError(
-                f"sharded state holds {ids.size} of {n} particles — "
-                f"slab/capacity overflow recovery failed")
-        order = np.argsort(ids)
-        pos = np.asarray(s.positions)[valid][order]
-        img = np.asarray(s.images)[valid][order]
-        diam = np.asarray(s.diameters)[valid][order]
-        return pos, img, diam
 
     current = start_step
     for ev in events:
@@ -201,7 +207,17 @@ def run_simulation_sharded(
         sh = advance(sh, n_adv)
         current = ev + 1
         since_reshard += n_adv
-        flagged = bool(sh.nbrs.overflow)
+        vec = np.asarray(event_scalars(sh))  # ONE scalar transfer
+        if not bool(vec[6]):
+            raise RuntimeError(
+                f"non-finite positions at step {ev}: the run diverged "
+                f"(beyond-cutoff pairs contribute exact zeros, so energies "
+                f"may still read 0.0) — reduce dt")
+        if int(vec[7]) != n:
+            raise RuntimeError(
+                f"sharded state holds {int(vec[7])} of {n} particles at "
+                f"step {ev} — slab/capacity overflow recovery failed")
+        flagged = bool(vec[5])
         if flagged or since_reshard >= reshard_every:
             if flagged:
                 import warnings
@@ -223,12 +239,12 @@ def run_simulation_sharded(
         wants_rows = ev in traj_steps or ev in snap_set
         if is_thermo or wants_rows:
             if is_thermo:
-                e = float(sh.energy)
-                t = float(sh.temperature)
+                e = float(vec[0])
+                t = float(vec[1])
                 if is_brownian:
-                    nprom = max(int(sh.nprom), 1)
+                    nprom = max(int(vec[4]), 1)
                     ener = e / n
-                    pressure = (float(sh.virial_accum)
+                    pressure = (float(vec[3])
                                 / (dim * nprom * volume)
                                 + density * float(ensemble.ktemp))
                     t = float(ensemble.ktemp)
@@ -239,7 +255,7 @@ def run_simulation_sharded(
                         nprom=jnp.zeros_like(sh.nprom))
                 else:
                     ener = (e + e_lrc) / n
-                    pressure = (float(sh.virial) / (dim * volume)
+                    pressure = (float(vec[2]) / (dim * volume)
                                 + density * t + p_lrc)
                 with open(thermo_file, "a") as io:
                     io.write(f"{ev} {ener:.6f} {t:.6f} {pressure:.6f}\n")
@@ -259,7 +275,17 @@ def run_simulation_sharded(
                             os.path.join(pathname, f"checkpoint.{ev}.npz"))
 
     if current < end_step:
+        # Tail past the last output event: the same staleness/escape check
+        # as every in-loop segment (the final state must not have been
+        # integrated with stale slab binning).
         sh = advance(sh, end_step - current)
+        if bool(sh.nbrs.overflow):
+            import warnings
+
+            warnings.warn(
+                f"halo staleness/capacity flag in the tail segment ending "
+                f"step {end_step}: emergency reshard")
+            sh = do_reshard(sh)
     traj_writer.close()
 
     final = unpad_state(sh, engine)
@@ -272,6 +298,81 @@ def valid_rows(state: SimulationState, engine: HaloCellGridEngine):
     """Boolean mask of real (non-pad) rows of a padded sharded state."""
     trash = engine.mx * engine.grid[1] * engine.grid[2] * engine.cell_capacity
     return np.asarray(state.nbrs.addr) < trash
+
+
+_ROW_PROGRAM_CACHE: dict = {}
+
+
+def _row_programs(params, ensemble, engine, mesh, compensated, cutoff,
+                  n, trash):
+    """(forces_fn, advance, event_scalars, output_rows) for the row-layout
+    sharded loop, cached across run_simulation_sharded calls."""
+    from jax.sharding import PartitionSpec as P
+
+    key = None
+    try:
+        key = (params, ensemble, engine, compensated, cutoff, n, trash,
+               tuple(d.id for d in mesh.devices.flat))
+        cached = _ROW_PROGRAM_CACHE.get(key)
+        if cached is not None:
+            return cached
+    except TypeError:
+        key = None  # unhashable potential: rebuild per call
+
+    ax = engine.axis_name
+    forces_fn = jax.jit(jax.shard_map(
+        lambda x, d, c, ci, nb: engine.compute(x, d, c, ci, nb)[:3],
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(), P(), engine.nbrs_partition_specs()),
+        out_specs=(P(), P(), P(ax)),
+        check_vma=False,
+    ))
+    step = make_shard_map_step(params, ensemble, engine, mesh,
+                               compensated=compensated,
+                               state_cutoff=cutoff)
+
+    @jax.jit
+    def advance(s, k):
+        return jax.lax.fori_loop(0, k, lambda i, x: step(x), s)
+
+    @jax.jit
+    def event_scalars(s):
+        """ONE device vector per event (the tunnel charges per transfer):
+        energy, temperature, virial, virial_accum, nprom, overflow, finite,
+        particle count."""
+        dt = s.positions.dtype
+        finite = jnp.all(jnp.isfinite(
+            jnp.where(s.nbrs.addr[:, None] < trash, s.positions, 0.0)))
+        count = jnp.sum((s.nbrs.addr < trash).astype(jnp.int32))
+        return jnp.stack([
+            s.energy.astype(dt), s.temperature.astype(dt),
+            s.virial.astype(dt),
+            (s.virial_accum if s.virial_accum is not None
+             else jnp.zeros((), dt)).astype(dt),
+            (s.nprom if s.nprom is not None
+             else jnp.zeros((), dt)).astype(dt),
+            s.nbrs.overflow.astype(dt), finite.astype(dt),
+            count.astype(dt)])
+
+    @jax.jit
+    def output_rows(s):
+        """Positions/images/ids of the n real rows, compacted on device:
+        one packed gather, ONE transfer (ids exact via hi/lo rows in f32,
+        same encoding as the slot driver)."""
+        from mdtpu.integrate.slot_step import split_id_rows
+
+        dt = s.positions.dtype
+        (idx,) = jnp.nonzero(s.nbrs.addr < trash, size=n,
+                             fill_value=s.nbrs.addr.shape[0] - 1)
+        rows = jnp.concatenate(
+            [s.positions.T, s.images.astype(dt).T]
+            + split_id_rows(s.ids, dt), axis=0)
+        return jnp.take(rows, idx, axis=1)
+
+    out = (forces_fn, advance, event_scalars, output_rows)
+    if key is not None:
+        _ROW_PROGRAM_CACHE[key] = out
+    return out
 
 
 _SHARDED_ADVANCE_CACHE: dict = {}
@@ -378,9 +479,7 @@ def _run_sharded_slot(
         return fn
 
     def grow_engine(engine):
-        return engine.replace(
-            cell_capacity=int(engine.cell_capacity * 1.4 + 4),
-            migration_capacity=engine.migration_capacity * 2)
+        return engine.with_grown_capacity()
 
     def restore(seg_start, engine):
         try:

@@ -109,7 +109,11 @@ class HaloSlotEngine:
                    uniform_sigma=uniform_sigma_of(diameters))
 
     def with_grown_capacity(self):
-        return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
+        # Migration pressure correlates with cell-capacity pressure (both
+        # flag through the same overflow bit), so grow both together.
+        return self.replace(
+            cell_capacity=int(self.cell_capacity * 1.4 + 4),
+            migration_capacity=self.migration_capacity * 2)
 
     @property
     def mx(self) -> int:

@@ -230,7 +230,11 @@ def _event_schedule(start_step, total_steps, frequency, traj_frequency,
     end_step = start_step + total_steps
     snap_set = set()
     if log_times:
-        snaps = generate_log_times(save_dir=pathname, max_step=total_steps)
+        # end_step, not total_steps: a resumed run keeps snapshotting on
+        # the original log-time schedule past its restart point (with
+        # max_step=total_steps every log time fell below start_step and
+        # resumed segments silently wrote no snapshots).
+        snaps = generate_log_times(save_dir=pathname, max_step=end_step)
         snap_set = set([0] + [s for s in snaps if s < end_step])
     # Stepped ranges, not per-step scans: O(n_events), so a 1e8-step run
     # doesn't spend host time enumerating every step twice.
@@ -489,12 +493,20 @@ def _drive_events(state, engine, advance, *,
         # A mid-run raise (divergence, capacity-grow exhaustion) must not
         # lose the already-completed frames buffered in the async writer —
         # they are exactly the trajectory tail one debugs the failure with.
+        import sys
+
         try:
             for item in pending:
                 flush(item)
         except Exception:
             pass
-        traj_writer.close()
+        try:
+            traj_writer.close()
+        except Exception:
+            # Don't mask an in-flight exception with a close failure; with
+            # no exception active, a failed disk write must surface.
+            if sys.exc_info()[0] is None:
+                raise
     return state, engine, advance
 
 

@@ -160,6 +160,16 @@ def test_log_times_resume_does_not_rewind(small_system):
     lines = open(os.path.join(path, "resumed", "thermo.txt")).read().splitlines()
     labels = [int(l.split()[0]) for l in lines[1:]]
     assert labels == [40, 60]
+    # ...but the ORIGINAL log-time schedule continues past the restart
+    # point: snapshots in [start_step, end_step) are written (regression:
+    # max_step=total_steps generated only times below start_step, so
+    # resumed segments silently wrote no snapshots at all).
+    from mdtpu.io.logtimes import generate_log_times
+
+    expected = [t for t in generate_log_times(max_step=80) if 40 <= t < 80]
+    assert expected  # the schedule does place snapshots in this window
+    for t in expected:
+        assert os.path.isfile(os.path.join(path, "resumed", f"snapshot.{t}"))
 
 
 def test_driver_slot_fast_path_matches_naive(tmp_path):
