@@ -42,6 +42,9 @@ def to_unitcell(box, dimension: int, dtype=jnp.float32) -> jnp.ndarray:
             raise ValueError(f"box vector of length {box.shape[0]} < dimension {dimension}")
         cell = np.diag(box[:dimension])
     elif box.ndim == 2:
+        if box.shape[0] < dimension or box.shape[1] < dimension:
+            raise ValueError(
+                f"box matrix of shape {box.shape} < dimension {dimension}")
         cell = box[:dimension, :dimension]
     else:
         raise ValueError(f"cannot interpret box of shape {box.shape}")

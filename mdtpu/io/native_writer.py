@@ -45,7 +45,8 @@ def _load_library():
             )
         lib = ctypes.CDLL(_LIB)
         lib.twr_open.restype = ctypes.c_void_p
-        lib.twr_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.twr_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_int]
         lib.twr_write_text.restype = ctypes.c_int
         lib.twr_write_text.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                        ctypes.c_int64]
@@ -70,12 +71,13 @@ def native_available() -> bool:
 class NativeTrajectoryWriter:
     """Async LAMMPS-dump writer backed by the C++ worker thread."""
 
-    def __init__(self, path, compress=False, level=3):
+    def __init__(self, path, compress=False, level=3, append=False):
         lib = _load_library()
         if lib is None:
             raise RuntimeError("native trajectory writer unavailable")
         self._lib = lib
-        self._handle = lib.twr_open(path.encode(), int(compress), level)
+        self._handle = lib.twr_open(path.encode(), int(compress), level,
+                                    int(append))
         if not self._handle:
             raise OSError(f"could not open {path}")
 
@@ -112,13 +114,13 @@ class NativeTrajectoryWriter:
 class PythonTrajectoryWriter:
     """Fallback: background-thread writer using the Python formatter."""
 
-    def __init__(self, path, compress=False, level=3):
+    def __init__(self, path, compress=False, level=3, append=False):
         self._compress = compress
         self._path = path
         self._queue: "queue.Queue" = queue.Queue()
         self._error = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._io = open(path, "wb")
+        self._io = open(path, "ab" if append else "wb")
         self._cctx = None
         self._zwriter = None
         if compress:
@@ -168,8 +170,13 @@ class PythonTrajectoryWriter:
                 f"trajectory writer failed mid-run: {self._error!r}")
 
 
-def open_trajectory_writer(path, compress=False, level=3):
-    """Best available async writer (native C++ if buildable, else Python)."""
+def open_trajectory_writer(path, compress=False, level=3, append=False):
+    """Best available async writer (native C++ if buildable, else Python).
+
+    ``append`` continues an existing trajectory (resumed runs); appending
+    to a .zst file is legal — zstd decodes concatenated frames."""
     if native_available():
-        return NativeTrajectoryWriter(path, compress=compress, level=level)
-    return PythonTrajectoryWriter(path, compress=compress, level=level)
+        return NativeTrajectoryWriter(path, compress=compress, level=level,
+                                      append=append)
+    return PythonTrajectoryWriter(path, compress=compress, level=level,
+                                  append=append)

@@ -19,6 +19,13 @@ def minimize(state, params, pathname, dimension=None, *, engine=None,
 
     if method not in ("FIRE", ":FIRE"):
         raise ValueError(f"unknown minimization method: {method}")
+    if dimension is not None and int(dimension) != int(state.dimension):
+        # The state, not this argument, controls dimensionality (kept for
+        # signature parity with /root/reference/src/minimize.jl:166) — a
+        # mismatch is a caller bug, not a silent no-op.
+        raise ValueError(
+            f"dimension={dimension} does not match state.dimension="
+            f"{int(state.dimension)}")
     if engine is None:
         engine = select_engine(params.potential, state.cutoff, state)
 

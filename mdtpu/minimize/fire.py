@@ -60,7 +60,35 @@ def fire_minimize(
     """Minimize the potential energy of ``state`` in place (functionally).
 
     Returns ``(new_state, energy, converged, n_steps)``.
+
+    Engine capacity overflow (dropped pairs/rows) would silently truncate
+    forces and let the RMS-force test "converge" on a configuration that
+    still has contacts — the run retries with grown capacity until the
+    overflow flag clears (same policy as the driver's restore-and-rerun).
     """
+    for _ in range(8):
+        out = _fire_once(state, params, engine, max_steps=max_steps, tol=tol,
+                         dt_initial=dt_initial, dt_max=dt_max, alpha0=alpha0,
+                         f_inc=f_inc, f_dec=f_dec, n_min=n_min, dmax=dmax)
+        new_state = out[0]
+        over = getattr(new_state.nbrs, "overflow", None)
+        grow = getattr(engine, "with_grown_capacity", None)
+        if over is None or not bool(over) or grow is None:
+            return out
+        engine = grow()
+        state = state.replace(nbrs=None)  # re-allocate at grown capacity
+    raise RuntimeError(
+        "engine capacity still overflowing after 8 grows during FIRE "
+        "minimization — forces would be silently truncated")
+
+
+def _fire_once(
+    state: SimulationState,
+    params: Parameters,
+    engine,
+    *,
+    max_steps, tol, dt_initial, dt_max, alpha0, f_inc, f_dec, n_min, dmax,
+):
     dtype = state.positions.dtype
     n = state.n_particles
     dim = state.dimension

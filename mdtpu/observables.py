@@ -55,7 +55,12 @@ def rdf_normalize(counts, n_particles, volume, r_max, n_frames=1, dim=3):
 def sample_rdf(state, n_bins=200, r_max=None):
     """Convenience single-frame g(r) from a SimulationState."""
     if r_max is None:
-        r_max = 0.5 * float(jnp.min(jnp.diag(state.unitcell)))
+        # Half the smallest PERPENDICULAR width, not the diagonal: a
+        # triclinic cell's diagonal entries exceed its true widths and the
+        # minimum image aliases pairs beyond half the narrowest width.
+        inv = np.linalg.inv(np.asarray(state.unitcell, np.float64))
+        widths = 1.0 / np.linalg.norm(inv, axis=1)
+        r_max = 0.5 * float(widths.min())
     counts = rdf_histogram(state.positions, state.unitcell, state.unitcell_inv,
                            r_max, n_bins)
     volume = float(box_volume(state.unitcell))

@@ -104,16 +104,20 @@ def run_simulation_sharded(
             precision=precision, traj_frequency=traj_frequency,
             perf_log=perf_log)
 
+    resume = int(state.step) > 0   # append, like run_simulation on resume
     trajectory_file, thermo_file = open_files(pathname, traj_name,
-                                              thermo_name)
-    with open(thermo_file, "a") as io:
-        io.write(THERMO_HEADER)
+                                              thermo_name, resume=resume)
+    if not (resume and os.path.isfile(thermo_file)):
+        with open(thermo_file, "a") as io:
+            io.write(THERMO_HEADER)
     from mdtpu.io.native_writer import open_trajectory_writer
 
     traj_path = trajectory_file + ".zst" if compress else trajectory_file
-    if os.path.isfile(traj_path):
+    append = resume and os.path.isfile(traj_path)
+    if os.path.isfile(traj_path) and not append:
         os.remove(traj_path)
-    traj_writer = open_trajectory_writer(traj_path, compress=compress)
+    traj_writer = open_trajectory_writer(traj_path, compress=compress,
+                                         append=append)
 
     volume = float(box_volume(state.unitcell))
     dim = state.dimension
@@ -420,16 +424,20 @@ def _run_sharded_slot(
             or (precision == "auto" and isinstance(ensemble, NVE)
                 and state.positions.dtype == jnp.float32))
 
+    resume = int(state.step) > 0   # append, like run_simulation on resume
     trajectory_file, thermo_file = open_files(pathname, traj_name,
-                                              thermo_name)
-    with open(thermo_file, "a") as io:
-        io.write(THERMO_HEADER)
+                                              thermo_name, resume=resume)
+    if not (resume and os.path.isfile(thermo_file)):
+        with open(thermo_file, "a") as io:
+            io.write(THERMO_HEADER)
     from mdtpu.io.native_writer import open_trajectory_writer
 
     traj_path = trajectory_file + ".zst" if compress else trajectory_file
-    if os.path.isfile(traj_path):
+    append = resume and os.path.isfile(traj_path)
+    if os.path.isfile(traj_path) and not append:
         os.remove(traj_path)
-    traj_writer = open_trajectory_writer(traj_path, compress=compress)
+    traj_writer = open_trajectory_writer(traj_path, compress=compress,
+                                         append=append)
 
     volume = float(box_volume(state.unitcell))
     dim = state.dimension

@@ -108,6 +108,16 @@ def check_engine_cutoff(potential, cutoff, max_sigma=1.0):
             f"reach would be silently dropped — increase the engine cutoff")
 
 
+def lorentz_sigma(mixing, self_sigma, sigma_i, sigma_j, dtype):
+    """The ONE sigma-mixing rule shared by the built-in potentials:
+    Lorentz arithmetic mean (the reference's convention,
+    /root/reference/src/potentials.jl:11-14) or ``mixing="none"`` (always
+    the potential's own sigma)."""
+    if mixing == "none":
+        return jnp.asarray(self_sigma, dtype)
+    return 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+
+
 def evaluate(potential, r, sigma_i=1.0, sigma_j=1.0):
     """Free-function form of the evaluate interface (API parity with the
     reference's exported ``evaluate``)."""

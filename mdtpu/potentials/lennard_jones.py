@@ -50,9 +50,9 @@ class LennardJones(Potential):
     mixing: str = struct.field(pytree_node=False, default="lorentz")
 
     def _mixed_sigma(self, sigma_i, sigma_j, dtype):
-        if self.mixing == "none":
-            return jnp.asarray(self.sigma, dtype)
-        return 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+        from mdtpu.potentials.base import lorentz_sigma
+
+        return lorentz_sigma(self.mixing, self.sigma, sigma_i, sigma_j, dtype)
 
     def max_cutoff(self, max_sigma=1.0):
         # The kernel cuts at fixed r_cut regardless of sigma

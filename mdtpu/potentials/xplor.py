@@ -66,10 +66,10 @@ class LennardJonesXPLOR(Potential):
         eps = jnp.asarray(self.epsilon, dtype)
         rc = jnp.asarray(self.r_cut, dtype)
         ron = jnp.asarray(self.r_on, dtype)
-        if self.mixing == "none":
-            sigma = jnp.asarray(self.sigma, dtype)
-        else:
-            sigma = 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+        from mdtpu.potentials.base import lorentz_sigma
+
+        sigma = lorentz_sigma(self.mixing, self.sigma, sigma_i, sigma_j,
+                              dtype)
 
         inside = r < rc
         r_safe = jnp.where(inside, r, jnp.ones_like(r))
@@ -99,10 +99,10 @@ class LennardJonesXPLOR(Potential):
         eps = jnp.asarray(self.epsilon, dtype)
         rc = jnp.asarray(self.r_cut, dtype)
         ron = jnp.asarray(self.r_on, dtype)
-        if self.mixing == "none":
-            sigma = jnp.asarray(self.sigma, dtype)
-        else:
-            sigma = 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+        from mdtpu.potentials.base import lorentz_sigma
+
+        sigma = lorentz_sigma(self.mixing, self.sigma, sigma_i, sigma_j,
+                              dtype)
 
         rc2 = rc * rc
         ron2 = ron * ron

@@ -40,15 +40,19 @@ from mdtpu.io.logtimes import generate_log_times
 THERMO_HEADER = "# Step Energy Temperature Pressure\n"
 
 
-def open_files(pathname, traj_name, thermo_name):
-    """Delete stale outputs, return paths
-    (/root/reference/src/io.jl:225-239)."""
+def open_files(pathname, traj_name, thermo_name, resume=False):
+    """Return output paths; delete stale outputs unless resuming
+    (/root/reference/src/io.jl:225-239 — the reference always starts at
+    step 0, so it always truncates; a RESUMED run into the same pathname
+    must instead append, or the earlier segment's rows/frames are
+    destroyed while the snapshots survive — an inconsistent directory)."""
     os.makedirs(pathname, exist_ok=True)
     trajectory_file = os.path.join(pathname, traj_name)
     thermo_file = os.path.join(pathname, thermo_name)
-    for f in (trajectory_file, thermo_file):
-        if os.path.isfile(f):
-            os.remove(f)
+    if not resume:
+        for f in (trajectory_file, thermo_file):
+            if os.path.isfile(f):
+                os.remove(f)
     return trajectory_file, thermo_file
 
 
@@ -278,12 +282,19 @@ def _drive_events(state, engine, advance, *,
     Returns ``(state, engine, advance)``; the caller finalizes."""
     unitcell_np = np.asarray(state.unitcell)  # constant for the run
 
-    event_steps = sorted(s for s in (thermo_steps | traj_steps | snap_set)
-                         if s >= start_step)
     row_steps = traj_steps | snap_set
-    checkpoint_steps = set(
-        ev for ev in event_steps
-        if checkpoint_every is not None and ev % checkpoint_every == 0)
+    # Checkpoints are their OWN events (batch boundaries), not a filter on
+    # the output events — checkpoint_every not aligned with the thermo/traj
+    # cadence used to silently produce 10x fewer checkpoints (or only
+    # step 0) than requested.
+    checkpoint_steps = set()
+    if checkpoint_every is not None:
+        checkpoint_steps = set(
+            range(start_step + (-start_step) % checkpoint_every,
+                  end_step, checkpoint_every))
+    event_steps = sorted(
+        s for s in (thermo_steps | traj_steps | snap_set | checkpoint_steps)
+        if s >= start_step and s < end_step)
 
     # Group events into batches: consecutive scalar-only (thermo) events are
     # served by ONE advance_batch call + ONE small transfer for the whole
@@ -469,12 +480,19 @@ def _drive_events(state, engine, advance, *,
 
         meter = StepRateMeter(os.path.join(pathname, "perf.txt"))
 
+    def dispatch_flush(p):
+        # Clear as we go: on a raise AFTER this ran, the finally block's
+        # best-effort flush must not write these items a second time
+        # (duplicate thermo rows / trajectory frames).
+        while p:
+            flush(p.pop(0))
+
     pending = []  # previous batch's (step_label, host data), not yet written
     try:
         for batch in batches:
             state, engine, advance, outputs = run_batch(
                 state, engine, advance, batch,
-                on_dispatched=lambda p=pending: [flush(item) for item in p])
+                on_dispatched=lambda p=pending: dispatch_flush(p))
             last_ev = batch[-1][0]
             if meter is not None:
                 meter.tick(last_ev, sum(n_adv for _, n_adv in batch))
@@ -561,9 +579,15 @@ def run_simulation(
     if engine is None:
         engine = select_engine(params.potential, state.cutoff, state)
 
-    trajectory_file, thermo_file = open_files(pathname, traj_name, thermo_name)
-    with open(thermo_file, "a") as io:
-        io.write(THERMO_HEADER)
+    # A resumed state (step > 0) APPENDS to outputs already in pathname —
+    # truncating would destroy the earlier segment's rows/frames while its
+    # snapshots survive (an inconsistent run directory).
+    resume = int(state.step) > 0
+    trajectory_file, thermo_file = open_files(pathname, traj_name,
+                                              thermo_name, resume=resume)
+    if not (resume and os.path.isfile(thermo_file)):
+        with open(thermo_file, "a") as io:
+            io.write(THERMO_HEADER)
 
     # Async trajectory writer (C++ background thread when available). With
     # compress=True the zstd stream is written directly — same end state as
@@ -572,9 +596,11 @@ def run_simulation(
     from mdtpu.io.native_writer import open_trajectory_writer
 
     traj_path = trajectory_file + ".zst" if compress else trajectory_file
-    if os.path.isfile(traj_path):
+    append = resume and os.path.isfile(traj_path)
+    if os.path.isfile(traj_path) and not append:
         os.remove(traj_path)
-    traj_writer = open_trajectory_writer(traj_path, compress=compress)
+    traj_writer = open_trajectory_writer(traj_path, compress=compress,
+                                         append=append)
 
     is_brownian = isinstance(ensemble, Brownian)
     potential = params.potential

@@ -68,5 +68,14 @@ def pack_positions(key, unitcell, n_particles, dimension, *, tol=1.0,
         state, params, engine, max_steps=max_steps, tol=1e-10,
         dt_initial=0.01, dt_max=0.15,
     )
+    # The overlap energy is exactly zero iff no pair is closer than tol;
+    # the Packmol path this replaces fails loudly on non-convergence
+    # (/root/reference/src/initialization.jl:20-30), so do the same rather
+    # than hand the caller a configuration with residual contacts.
+    if not bool(converged) and float(energy) > 1e-8 * n_particles:
+        raise RuntimeError(
+            f"packing failed: residual overlap energy {float(energy):.3e} "
+            f"after {max_steps} FIRE steps — lower the density, reduce tol, "
+            f"or raise max_steps")
     out, _ = wrap_positions(state.positions, state.images, cell, cell_inv)
     return out

@@ -12,7 +12,7 @@
 // instead of compress-then-delete. The device loop never blocks on disk.
 //
 // C ABI (consumed via ctypes from mdtpu/io/native_writer.py):
-//   void* twr_open(const char* path, int compress, int level);
+//   void* twr_open(const char* path, int compress, int level, int append);
 //   int   twr_write_text(void* h, const char* data, int64_t len);
 //   int   twr_write_lammps_frame(void* h, int64_t step, int64_t n, int dim,
 //                                const double* cell,      // dim*dim row-major
@@ -50,9 +50,10 @@ struct Frame {
 
 class Writer {
  public:
-  Writer(const char* path, bool compress, int level)
+  Writer(const char* path, bool compress, int level, bool append)
       : compress_(compress) {
-    file_ = std::fopen(path, "wb");
+    // Appending to a .zst is legal: zstd decodes concatenated frames.
+    file_ = std::fopen(path, append ? "ab" : "wb");
     ok_ = file_ != nullptr;
     if (ok_ && compress_) {
       cctx_ = ZSTD_createCCtx();
@@ -205,8 +206,8 @@ class Writer {
 
 extern "C" {
 
-void* twr_open(const char* path, int compress, int level) {
-  auto* w = new Writer(path, compress != 0, level);
+void* twr_open(const char* path, int compress, int level, int append) {
+  auto* w = new Writer(path, compress != 0, level, append != 0);
   if (!w->ok()) {
     delete w;
     return nullptr;

@@ -555,3 +555,33 @@ def test_pack_output_rows_roundtrip_slot():
     pos_ref, _, _, img_ref = unslotify_arrays(sl)
     np.testing.assert_array_equal(pos, pos_ref)
     np.testing.assert_array_equal(img, img_ref)
+
+
+def test_resume_into_same_pathname_appends(small_system):
+    """A resumed state (step > 0) APPENDS to the run directory's outputs:
+    truncating (the fresh-run behavior, reference parity io.jl:225-239)
+    would destroy the first segment's thermo rows and trajectory frames
+    while its snapshots survive."""
+    state, params, path = small_system
+    mid = run_simulation(state, params, NVE(), total_steps=20, frequency=10,
+                         pathname=path)
+    end = run_simulation(mid, params, NVE(), total_steps=20, frequency=10,
+                         pathname=path)
+    assert int(end.step) == 40
+    lines = open(os.path.join(path, "thermo.txt")).read().splitlines()
+    assert lines[0] == "# Step Energy Temperature Pressure"
+    labels = [int(l.split()[0]) for l in lines[1:]]
+    assert labels == [0, 10, 20, 30]   # both segments, one header
+    traj = open(os.path.join(path, "trajectory.xyz")).read()
+    assert traj.count("ITEM: TIMESTEP") == 4
+
+
+def test_checkpoint_every_not_quantized_to_output_cadence(small_system):
+    """checkpoint_every misaligned with the thermo cadence still writes
+    checkpoints at its own steps (they are events of their own; previously
+    only event steps divisible by checkpoint_every got one)."""
+    state, params, path = small_system
+    run_simulation(state, params, NVE(), total_steps=40, frequency=25,
+                   pathname=path, checkpoint_every=15)
+    for s in (0, 15, 30):
+        assert os.path.isfile(os.path.join(path, f"checkpoint.{s}.npz")), s
