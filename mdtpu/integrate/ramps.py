@@ -28,9 +28,13 @@ class LinearRamp:
         tf = jnp.asarray(self.t_final)
         if self.n_steps <= 1:
             return tf
-        step = jnp.clip(jnp.asarray(step), 1, self.n_steps)
+        raw = jnp.asarray(step)
+        step = jnp.clip(raw, 1, self.n_steps)
         progress = (step - 1.0) / (self.n_steps - 1.0)
-        return ti + (tf - ti) * progress
+        # Hold EXACTLY t_final past the ramp (the interpolation at
+        # progress=1 differs from tf by roundoff; the reference
+        # early-returns T_final, /root/reference/src/temperature_ramps.jl).
+        return jnp.where(raw >= self.n_steps, tf, ti + (tf - ti) * progress)
 
 
 @struct.dataclass
@@ -44,10 +48,15 @@ class ExponentialRamp:
         tf = jnp.asarray(self.t_final)
         if self.n_steps <= 1:
             return tf
-        step = jnp.clip(jnp.asarray(step), 1, self.n_steps)
+        raw = jnp.asarray(step)
+        step = jnp.clip(raw, 1, self.n_steps)
+        # NOTE: without x64 the progress is f32 — ramps longer than 2^24
+        # steps quantize into plateaus (integers above 16.7M are not
+        # representable); the endpoints below are exact regardless.
         progress = (step - 1.0) / (self.n_steps - 1.0)
         alpha = jnp.log(tf / ti)
-        return ti * jnp.exp(alpha * progress)
+        return jnp.where(raw >= self.n_steps, tf,
+                         ti * jnp.exp(alpha * progress))
 
 
 def initial_temperature_for_velocities(ktemp):

@@ -56,9 +56,9 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     grid_ok = (unitcell is not None
                and _grid_for_box(np.asarray(unitcell), float(cutoff),
                                  float(skin)) is not None)
-    if prefer is None and (n_particles is None or n_particles <= _NAIVE_MAX_N):
-        return NaivePairEngine(potential=potential, cutoff=cutoff)
-    if not grid_ok:
+    if (prefer is None and (n_particles is None
+                            or n_particles <= _NAIVE_MAX_N)) or not grid_ok:
+        _warn_if_half_box_exceeded(unitcell, cutoff)
         return NaivePairEngine(potential=potential, cutoff=cutoff)
 
     if prefer == "neighbor":
@@ -74,12 +74,35 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     if jax.default_backend() == "cpu" and ortho:
         return NeighborListEngine.create(
             potential=potential, cutoff=float(cutoff), skin=float(skin),
-            unitcell=np.asarray(unitcell), n_particles=int(n_particles))
+            unitcell=np.asarray(unitcell), n_particles=int(n_particles),
+            max_sigma=max_sigma)
     # Padded-lane-optimal geometry (fat cells, C ~ 30-40): measured up to
     # 2.5x faster than cutoff-sized cells and ~4x fewer rebuilds.
     return CellGridEngine.create_tuned(
         potential, float(cutoff), np.asarray(unitcell), int(n_particles),
         min_skin=float(skin), max_sigma=max_sigma, diameters=diameters)
+
+
+def _warn_if_half_box_exceeded(unitcell, cutoff):
+    """Minimum-image engines only see the NEAREST periodic image: with a
+    box narrower than 2*cutoff a pair can also interact through a second
+    image, which is silently missed (the reference's CellListMap replicates
+    images instead). Warn rather than raise — tiny test boxes use the
+    minimum-image convention deliberately."""
+    if unitcell is None:
+        return
+    u = np.asarray(unitcell, np.float64)
+    inv = np.linalg.inv(u)
+    # Perpendicular width along lattice direction k = 1/||row k of cell^-1||
+    # (frac_k = sum_j inv[k, j] x_j).
+    widths = 1.0 / np.linalg.norm(inv, axis=1)
+    if float(widths.min()) < 2.0 * float(cutoff):
+        import warnings
+
+        warnings.warn(
+            f"box width {widths.min():.3g} < 2*cutoff = {2 * float(cutoff):.3g}: "
+            "the minimum-image pair sweep misses second-image interactions "
+            "for this system (use a larger box for true periodic physics)")
 
 
 __all__ = ["NaivePairEngine", "select_engine"]

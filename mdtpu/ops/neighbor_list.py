@@ -55,6 +55,11 @@ def estimate_capacities(n_particles: int, unitcell, cutoff: float, skin: float,
     return c, k
 
 
+def _ortho_min_image(d, length):
+    """Orthorhombic minimum image (the one place the convention lives)."""
+    return d - length * jnp.round(d / length)
+
+
 def _grid_for_box(unitcell, cutoff: float, skin: float):
     """Cells per axis: floor(h_i / (cutoff + skin)) where h_i is the
     perpendicular distance between the cell's lattice planes along axis i
@@ -89,9 +94,18 @@ class NeighborListEngine:
     @classmethod
     def create(cls, potential, cutoff, skin, unitcell, n_particles,
                cell_capacity=None, max_neighbors=None, max_sigma=1.0):
+        from mdtpu.core.box import is_orthorhombic
         from mdtpu.potentials.base import check_engine_cutoff
 
         check_engine_cutoff(potential, cutoff, max_sigma)
+        if not is_orthorhombic(unitcell):
+            # This engine's minimum image uses diagonal box lengths only —
+            # a tilted cell would get silently wrong displacements across
+            # the periodic boundary. The cell-grid engine handles triclinic
+            # cells (fractional binning + cell-vector ghost shifts).
+            raise ValueError(
+                "NeighborListEngine is orthorhombic-only; use CellGridEngine "
+                "for tilted (triclinic) cells")
         grid = _grid_for_box(unitcell, cutoff, skin)
         if grid is None:
             raise ValueError(
@@ -174,7 +188,7 @@ class NeighborListEngine:
             ck = pos_t[k]
             dk = ck[:, None] - ck[cand_safe]
             lk = lengths[k]
-            dk = dk - lk * jnp.round(dk / lk)
+            dk = _ortho_min_image(dk, lk)
             r2 = r2 + dk * dk
         self_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
         valid = (cand < n) & (cand != self_ids) & (r2 < r_list * r_list)
@@ -201,7 +215,7 @@ class NeighborListEngine:
         # little, not a box length).
         lengths = jnp.diag(cell)
         disp = positions - nbrs.ref_positions
-        disp = disp - lengths * jnp.round(disp / lengths)
+        disp = _ortho_min_image(disp, lengths)
         half_skin = 0.5 * self.skin
         d2 = jnp.sum(disp * disp, axis=-1)
         return jnp.any(d2 > half_skin * half_skin)
@@ -227,7 +241,7 @@ class NeighborListEngine:
             ck = pos_t[k]
             dk = ck[:, None] - ck[idx_safe]       # (N, K)
             lk = lengths[k]
-            dk = dk - lk * jnp.round(dk / lk)
+            dk = _ortho_min_image(dk, lk)
             d_comps.append(dk)
             r2 = r2 + dk * dk
 

@@ -478,7 +478,9 @@ def _drive_events(state, engine, advance, *,
     if perf_log:
         from mdtpu.utils.profiling import StepRateMeter
 
-        meter = StepRateMeter(os.path.join(pathname, "perf.txt"))
+        # Append on resume, matching the other outputs' resume contract.
+        meter = StepRateMeter(os.path.join(pathname, "perf.txt"),
+                              append=start_step > 0)
 
     def dispatch_flush(p):
         # Clear as we go: on a raise AFTER this ran, the finally block's

@@ -5,6 +5,7 @@ lightweight step-rate meter the driver can write alongside thermo output)."""
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
 import jax
@@ -25,10 +26,10 @@ class StepRateMeter:
     ``perf.txt`` (kept separate from thermo.txt to preserve the reference's
     exact thermo format)."""
 
-    def __init__(self, path=None):
+    def __init__(self, path=None, append=False):
         self.path = path
         self._last = time.perf_counter()
-        if path is not None:
+        if path is not None and not (append and os.path.isfile(path)):
             with open(path, "w") as f:
                 f.write("# Step StepsPerSec\n")
 
