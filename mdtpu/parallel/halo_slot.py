@@ -196,6 +196,11 @@ class HaloSlotEngine:
             esc_right = esc_left = jnp.zeros_like(occ)
 
         # --- migration buffers: RAW (unfolded) rows, fixed (R, K) shape --
+        # Deliberate: the state is packed twice per rebin (here for the
+        # migration gather, again post-fold inside packed_resort). Folding
+        # on the packed rows would save one (R, n_slots) concat, but rebins
+        # amortize to <3% of step cost and the fold is the precision-
+        # critical seam (kahan_add + image counts) — clarity wins.
         rows_raw = pack_state_rows(state)
         occ_row_idx = 6 * dim + 1
         iota = jnp.arange(n_slots, dtype=jnp.int32)
