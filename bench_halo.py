@@ -63,6 +63,10 @@ def _time_advance(advance, state, warm=400, steps=300, reps=3):
         jax.block_until_ready(state)
         best = min(best, time.perf_counter() - t0)
     assert bool(jnp.isfinite(state.temperature))
+    if state.nbrs is not None and hasattr(state.nbrs, "overflow"):
+        assert not bool(jnp.asarray(state.nbrs.overflow).max()), \
+            "capacity overflow: rate measured on a truncated system"
+
     return steps / best
 
 

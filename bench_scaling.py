@@ -19,20 +19,12 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.ops.naive import NaivePairEngine
     from mdtpu.potentials.pseudo_hs import PseudoHS
-    from mdtpu.sim.initialization import (
-        build_state_from_arrays, initialize_velocities, lattice_positions)
+    from mdtpu.sim.initialization import lattice_fluid_state
 
     dtype = jnp.float32
-    d = 3
-    L = (n / rho) ** (1.0 / d)
-    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
-    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
-                            key=jax.random.PRNGKey(0))
-    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
-                                    jax.random.PRNGKey(1), dtype=dtype,
-                                    cutoff=1.5)
-    state = state.replace(velocities=initialize_velocities(
-        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=1.5,
+                                jitter=0.01)
+    cell = state.unitcell
     pot = PseudoHS()
     params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
     try:
@@ -73,12 +65,19 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
     jax.block_until_ready(state)
     rate = steps / (time.perf_counter() - t0)
     ok = bool(jnp.isfinite(state.temperature))
+    # A capacity overflow silently drops particles (less pair work) and
+    # would inflate the published rate — surface it in the JSON and fail.
+    over = bool(getattr(state.nbrs, "overflow",
+                        jnp.zeros((), bool)).max()) if state.nbrs is not None \
+        else False
     print(json.dumps({
         "N": n, "steps_per_sec": round(rate, 1),
         "particle_steps_per_sec": round(rate * n, 0),
-        "engine": kind, "finite": ok,
+        "engine": kind, "finite": ok, "overflow": over,
         "T": round(float(state.temperature), 3),
     }), flush=True)
+    assert not over, "cell capacity overflow: rate measured on a truncated system"
+
 
 
 if __name__ == "__main__":

@@ -8,6 +8,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # remote TPU compiles cost ~60 s/program uncached
+
 import jax
 import jax.numpy as jnp
 

@@ -6,6 +6,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # remote TPU compiles cost ~60 s/program uncached
+
 import jax
 
 from mdtpu import Brownian, Parameters, PseudoHS, initialize_state, run_simulation

@@ -3,8 +3,6 @@
 (/root/reference/README.md:147-178 pattern)."""
 
 import os
-
-import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -15,6 +13,10 @@ import jax
 # potential: f64 is required or the first energies overflow (the repo's
 # gotcha list). Must be set before first jax use.
 jax.config.update("jax_enable_x64", True)
+
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # remote TPU compiles cost ~60 s/program uncached
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,8 +42,16 @@ class NonAdditivePHS(Potential):
         inside = r < cutoff
         r_safe = jnp.where(inside, r, jnp.ones_like(r))
         sr = sigma / r_safe
-        u = ipow(sr, self.lam)
-        f = self.lam * u / r_safe
+        u_raw = ipow(sr, self.lam)
+        f_raw = self.lam * u_raw / r_safe
+        # Energy- AND force-shift so both reach zero smoothly at the
+        # cutoff: u -> u - u(rc) - (r - rc) u'(rc). A bare truncation
+        # injects an energy jump at every cutoff crossing (visible NVE
+        # drift and a discontinuous landscape for FIRE).
+        u_c = ipow(jnp.asarray(1 / 1.25, r.dtype), self.lam)
+        f_c = self.lam * u_c / cutoff
+        u = u_raw - u_c + (r_safe - cutoff) * f_c
+        f = f_raw - f_c
         zero = jnp.zeros_like(u)
         return jnp.where(inside, u, zero), jnp.where(inside, f, zero)
 

@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+from mdtpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # remote TPU compiles cost ~60 s/program uncached
+
 import jax
 
 # Demo default: an 8-virtual-device CPU mesh (works everywhere). On a real

@@ -27,21 +27,13 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.ops.naive import NaivePairEngine
     from mdtpu.potentials.pseudo_hs import PseudoHS
-    from mdtpu.sim.initialization import (
-        build_state_from_arrays, initialize_velocities, lattice_positions)
+    from mdtpu.sim.initialization import lattice_fluid_state
 
     if dtype is None:
         dtype = jnp.float32
-    d = 3
-    L = (n / rho) ** (1.0 / d)
-    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
-    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
-                            key=jax.random.PRNGKey(0))
-    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
-                                    jax.random.PRNGKey(1), dtype=dtype,
-                                    cutoff=1.5)
-    state = state.replace(velocities=initialize_velocities(
-        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=1.5,
+                                jitter=0.01)
+    cell = state.unitcell
 
     pot = PseudoHS()
     params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
@@ -112,7 +104,7 @@ def main(n=1024, rho=0.76, temp=1.4737, dt=0.001, nve_steps=1_000_000,
     slope = np.polyfit(steps, energies / n, 1)[0]       # dE/N per step
     drift_per_1e6 = abs(slope) * 1e6
 
-    volume = float(L) ** 3
+    volume = float(np.abs(np.linalg.det(np.asarray(cell))))
     pressure = virials.mean() / (3 * volume) + rho * temps.mean()
     mode = jnp.dtype(dtype).name
     if force_dtype is not None:
@@ -155,20 +147,12 @@ def main_driver(n=1024, rho=0.76, temp=1.4737, dt=0.001,
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.potentials.pseudo_hs import PseudoHS
     from mdtpu.sim.driver import run_simulation
-    from mdtpu.sim.initialization import (
-        build_state_from_arrays, initialize_velocities, lattice_positions)
+    from mdtpu.sim.initialization import lattice_fluid_state
 
     dtype = jnp.float32
-    d = 3
-    L = (n / rho) ** (1.0 / d)
-    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
-    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
-                            key=jax.random.PRNGKey(0))
-    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
-                                    jax.random.PRNGKey(1), dtype=dtype,
-                                    cutoff=1.5)
-    state = state.replace(velocities=initialize_velocities(
-        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=1.5,
+                                jitter=0.01)
+    cell = state.unitcell
     pot = PseudoHS()
     params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
     engine = CellGridEngine.create_tuned(pot, 1.5, np.asarray(cell), n,
@@ -187,7 +171,7 @@ def main_driver(n=1024, rho=0.76, temp=1.4737, dt=0.001,
 
     rows = np.loadtxt(os.path.join(tmp, "nve", "thermo.txt"))
     steps, ener, temps = rows[:, 0], rows[:, 1], rows[:, 2]
-    nf = d * (n - 1)
+    nf = 3 * (n - 1)
     etot = ener + 0.5 * nf * temps / n  # per-particle total energy
     slope = np.polyfit(steps, etot, 1)[0]
     drift_per_1e6 = abs(slope) * 1e6
@@ -212,8 +196,11 @@ if __name__ == "__main__":
     if kind == "driver":
         main_driver(dt=dt, nve_steps=steps)
         sys.exit(0)
-    if kind in ("f64", "mixed", "f32+f64f"):
-        jax.config.update("jax_enable_x64", True)
+    # x64 on for EVERY kind: the drift fit's energy accounting casts to
+    # f64 (segment()), which silently stayed f32 for the default f32/f32x2
+    # gates — a hidden ~f32-ulp noise floor under the very measurement the
+    # cast exists for. The simulation dtype is still set per kind below.
+    jax.config.update("jax_enable_x64", True)
     # "f32x2": pure-f32 pipeline with the pair sweep consuming the Kahan
     # (hi, lo) position words — displacements are (hi_i-hi_j)+(lo_i-lo_j),
     # ~16x less coordinate rounding noise than single-f32 absolute positions

@@ -104,7 +104,9 @@ def run_simulation_sharded(
             precision=precision, traj_frequency=traj_frequency,
             perf_log=perf_log)
 
-    resume = int(state.step) > 0   # append, like run_simulation on resume
+    from mdtpu.sim.driver import should_resume_outputs
+
+    resume = should_resume_outputs(pathname, thermo_name, int(state.step))
     trajectory_file, thermo_file = open_files(pathname, traj_name,
                                               thermo_name, resume=resume)
     if not (resume and os.path.isfile(thermo_file)):
@@ -424,7 +426,9 @@ def _run_sharded_slot(
             or (precision == "auto" and isinstance(ensemble, NVE)
                 and state.positions.dtype == jnp.float32))
 
-    resume = int(state.step) > 0   # append, like run_simulation on resume
+    from mdtpu.sim.driver import should_resume_outputs
+
+    resume = should_resume_outputs(pathname, thermo_name, int(state.step))
     trajectory_file, thermo_file = open_files(pathname, traj_name,
                                               thermo_name, resume=resume)
     if not (resume and os.path.isfile(thermo_file)):

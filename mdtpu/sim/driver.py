@@ -40,6 +40,33 @@ from mdtpu.io.logtimes import generate_log_times
 THERMO_HEADER = "# Step Energy Temperature Pressure\n"
 
 
+def should_resume_outputs(pathname, thermo_name, state_step):
+    """Append to existing outputs only when they are the EARLIER part of
+    this very run: the existing thermo's last step label must be below the
+    resumed state's step. A stale previous invocation (labels >= the
+    state's step — e.g. re-running a script whose input state always
+    reaches the same step) truncates like a fresh run, otherwise every
+    re-run would append duplicate rows/frames."""
+    if int(state_step) <= 0:
+        return False
+    thermo_file = os.path.join(pathname, thermo_name)
+    if not os.path.isfile(thermo_file):
+        return False
+    try:
+        with open(thermo_file, "rb") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            f.seek(max(0, size - 4096))
+            tail = f.read().decode(errors="replace").strip().splitlines()
+        for line in reversed(tail):
+            line = line.strip()
+            if line and not line.startswith("#"):
+                return int(line.split()[0]) < int(state_step)
+        return False
+    except (OSError, ValueError):
+        return False
+
+
 def open_files(pathname, traj_name, thermo_name, resume=False):
     """Return output paths; delete stale outputs unless resuming
     (/root/reference/src/io.jl:225-239 — the reference always starts at
@@ -581,10 +608,11 @@ def run_simulation(
     if engine is None:
         engine = select_engine(params.potential, state.cutoff, state)
 
-    # A resumed state (step > 0) APPENDS to outputs already in pathname —
-    # truncating would destroy the earlier segment's rows/frames while its
-    # snapshots survive (an inconsistent run directory).
-    resume = int(state.step) > 0
+    # A resumed state APPENDS to outputs already in pathname when they are
+    # the earlier part of this run (see should_resume_outputs) — truncating
+    # would destroy the first segment's rows/frames while its snapshots
+    # survive (an inconsistent run directory).
+    resume = should_resume_outputs(pathname, thermo_name, int(state.step))
     trajectory_file, thermo_file = open_files(pathname, traj_name,
                                               thermo_name, resume=resume)
     if not (resume and os.path.isfile(thermo_file)):

@@ -166,3 +166,25 @@ def _read_xyz(path, dimension):
     from mdtpu.io.xyz import read_xyz
 
     return read_xyz(path, dimension)
+
+
+def lattice_fluid_state(n_particles, density, temperature, *, dimension=3,
+                        dtype=jnp.float32, cutoff=1.5, jitter=0.01,
+                        seed=0) -> SimulationState:
+    """Jittered-lattice fluid with Maxwell velocities in a cubic rho-box —
+    the shared system builder for the bench/gate/validation harnesses and
+    the driver entry (previously seven hand copies that had already drifted
+    in jitter/rounding details)."""
+    L = (n_particles / density) ** (1.0 / dimension)
+    # f32-rounded box length in EVERY dtype: the gate harness compares
+    # drift across precisions on the same geometry, so f64 runs must use
+    # the same (f32-representable) box as f32 runs.
+    cell = jnp.eye(dimension, dtype=dtype) * np.float32(L)
+    pos = lattice_positions(n_particles, cell, dimension, dtype=dtype,
+                            jitter=jitter, key=jax.random.PRNGKey(seed))
+    state = build_state_from_arrays(
+        pos, jnp.ones(n_particles, dtype), cell,
+        jax.random.PRNGKey(seed + 1), dtype=dtype, cutoff=cutoff)
+    v = initialize_velocities(temperature, jax.random.PRNGKey(seed + 2),
+                              n_particles, dimension, dtype=dtype)
+    return state.replace(velocities=v)

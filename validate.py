@@ -22,24 +22,17 @@ def main(n=4096, rho=0.84, temp=0.75, steps=30_000, out="/tmp/validate_run"):
                        run_simulation)
     from mdtpu.observables import read_thermo, rdf_histogram, rdf_normalize
     from mdtpu.ops.cell_grid import CellGridEngine
-    from mdtpu.sim.initialization import (build_state_from_arrays,
-                                          lattice_positions)
+    from mdtpu.sim.initialization import lattice_fluid_state
 
     dtype = jnp.float32
-    d = 3
-    L = (n / rho) ** (1.0 / d)
-    cell = jnp.eye(d, dtype=dtype) * np.float32(L)
-    pos = lattice_positions(n, cell, d, dtype=dtype, jitter=0.01,
-                            key=jax.random.PRNGKey(0))
-    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell,
-                                    jax.random.PRNGKey(1), dtype=dtype,
-                                    cutoff=2.5)
-    state = state.replace(velocities=initialize_velocities(
-        temp, jax.random.PRNGKey(2), n, d, dtype=dtype))
+    state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=2.5,
+                                jitter=0.01)
+    cell = state.unitcell
 
     pot = LennardJones(r_cut=2.5, tail_correction=True)
     params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
-    engine = CellGridEngine.create(pot, 2.5, 0.3, np.asarray(cell), n)
+    engine = CellGridEngine.create(pot, 2.5, 0.3, np.asarray(cell), n,
+                                   diameters=np.ones(n, np.float32))
 
     state = run_simulation(state, params, NVT(temp, 0.2), steps, 1_000, out,
                            engine=engine, perf_log=True)
@@ -48,6 +41,12 @@ def main(n=4096, rho=0.84, temp=0.75, steps=30_000, out="/tmp/validate_run"):
     counts = np.zeros(200, np.int64)
     frames = 0
     from mdtpu.integrate.step import make_step
+    # The driver may have returned nbrs from a GROWN-capacity engine
+    # (overflow recovery) whose shapes don't match this engine's grid —
+    # re-allocate with the engine the sampling step is built around.
+    state = state.replace(nbrs=engine.allocate(
+        state.positions, state.diameters, state.unitcell,
+        state.unitcell_inv))
     step = make_step(params, NVT(temp, 0.2), engine)
     adv = jax.jit(lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
     for _ in range(10):
