@@ -585,3 +585,23 @@ def test_checkpoint_every_not_quantized_to_output_cadence(small_system):
                    pathname=path, checkpoint_every=15)
     for s in (0, 15, 30):
         assert os.path.isfile(os.path.join(path, f"checkpoint.{s}.npz")), s
+
+
+def test_stale_outputs_truncated_not_appended(small_system):
+    """Re-running a script whose input state always reaches the same step
+    (labels in the directory >= the state's step) must truncate like a
+    fresh run — only a TRUE continuation (labels < state.step) appends."""
+    state, params, path = small_system
+    mid = run_simulation(state, params, NVE(), total_steps=20, frequency=10,
+                         pathname=path)
+    # Same mid-state into the same directory twice: the second invocation
+    # sees labels 20, 30 >= mid.step=20 -> truncate, no duplicates.
+    run_simulation(mid, params, NVE(), total_steps=20, frequency=10,
+                   pathname=path + "/seg2")
+    run_simulation(mid, params, NVE(), total_steps=20, frequency=10,
+                   pathname=path + "/seg2")
+    lines = open(os.path.join(path, "seg2", "thermo.txt")).read().splitlines()
+    labels = [int(l.split()[0]) for l in lines[1:]]
+    assert labels == [20, 30]
+    traj = open(os.path.join(path, "seg2", "trajectory.xyz")).read()
+    assert traj.count("ITEM: TIMESTEP") == 2
