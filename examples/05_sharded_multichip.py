@@ -25,8 +25,14 @@ import jax
 # multi-accelerator host run with MDTPU_REAL_MESH=1 to use the hardware
 # mesh. (Backend configs must be set before any JAX operation.)
 if not os.environ.get("MDTPU_REAL_MESH"):
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        # A backend is already live (e.g. the test conftest, which itself
+        # forces an 8-virtual-device CPU platform) — keep whatever mesh the
+        # host process set up.
+        pass
 
 import jax.numpy as jnp
 
