@@ -108,6 +108,14 @@ def _frac_components(x, cell_inv):
             for k in range(dim)]
 
 
+class CapacityOverflowError(ValueError):
+    """Initial binning overflowed the engine's cell capacity — the caller
+    may retry with ``engine.with_grown_capacity()``. A distinct type so
+    grow-and-retry loops don't swallow slotify's *explanatory* ValueErrors
+    (uniform-sigma mismatch, far-ramp slot budget), which growing capacity
+    can never fix."""
+
+
 def slotify(state: SimulationState, engine: CellGridEngine) -> SimulationState:
     """Convert an (N, d) particle state into component-major slot order."""
     n, dim = state.positions.shape

@@ -29,7 +29,6 @@ import numpy as np
 from mdtpu.core.box import box_volume
 from mdtpu.core.types import Brownian, Parameters, SimulationState
 from mdtpu.io.lammps import write_lammps_frame
-from mdtpu.io.logtimes import generate_log_times
 from mdtpu.parallel.halo import (
     HaloCellGridEngine,
     allocate_sharded,
@@ -105,6 +104,18 @@ def run_simulation_sharded(
             perf_log=perf_log)
 
     from mdtpu.sim.driver import should_resume_outputs
+
+    # Row-layout legacy path from here down. Fail loudly on options it
+    # cannot honor (the slot path above handles them); validate BEFORE
+    # open_files truncates a previous run's outputs.
+    if precision not in ("auto", "f32x2", "plain"):
+        raise ValueError(
+            f"precision must be auto/f32x2/plain, got {precision!r}")
+    if precision == "f32x2":
+        raise ValueError(
+            "precision='f32x2' (the hi/lo pair sweep) requires the "
+            "slot-layout halo engine (the default HaloSlotEngine); the "
+            "row-layout HaloCellGridEngine has no hi/lo sweep")
 
     resume = should_resume_outputs(pathname, thermo_name, int(state.step))
     trajectory_file, thermo_file = open_files(pathname, traj_name,
@@ -184,85 +195,85 @@ def run_simulation_sharded(
     if reshard_every is None:
         reshard_every = frequency
 
+    from mdtpu.sim.driver import _event_schedule, _thermo_values
+
     start_step = int(sh.step)
     end_step = start_step + total_steps
-    snap_set = set()
-    if log_times:
-        # end_step, not total_steps: a resumed run must keep snapshotting
-        # on the original log-time schedule past its restart point.
-        snaps = generate_log_times(save_dir=pathname, max_step=end_step)
-        snap_set = set([0] + [s for s in snaps if s < end_step])
-        snap_set = set(s for s in snap_set if s >= start_step) \
-            | ({0} if start_step == 0 else set())
-    # Frequency-aligned labels (like _event_schedule): resumed runs keep
-    # the original cadence instead of an offset one.
-    thermo_steps = set(range(start_step + (-start_step) % frequency,
-                             end_step, frequency))
-    traj_steps = (thermo_steps if traj_frequency is None else
-                  set(range(start_step + (-start_step) % traj_frequency,
-                            end_step, traj_frequency)))
+    thermo_steps, traj_steps, snap_set = _event_schedule(
+        start_step, total_steps, frequency, traj_frequency, log_times,
+        pathname)
+    # Checkpoints are their OWN events, not a filter on the output events
+    # (same contract as _drive_events: 'ev % checkpoint_every == 0' at
+    # existing events silently writes far fewer checkpoints than asked
+    # whenever the cadences don't align).
+    checkpoint_steps = set()
+    if checkpoint_every is not None:
+        checkpoint_steps = set(
+            range(start_step + (-start_step) % checkpoint_every,
+                  end_step, checkpoint_every))
     events = sorted(
-        s for s in (thermo_steps | traj_steps | snap_set
+        s for s in (thermo_steps | traj_steps | snap_set | checkpoint_steps
                     | set(range(start_step, end_step, reshard_every)))
-        if s >= start_step)
+        if s >= start_step and s < end_step)
     since_reshard = 0
 
-    current = start_step
-    for ev in events:
-        n_adv = ev - current + 1
-        sh = advance(sh, n_adv)
-        current = ev + 1
-        since_reshard += n_adv
-        vec = np.asarray(event_scalars(sh))  # ONE scalar transfer
-        if not bool(vec[6]):
-            raise RuntimeError(
-                f"non-finite positions at step {ev}: the run diverged "
-                f"(beyond-cutoff pairs contribute exact zeros, so energies "
-                f"may still read 0.0) — reduce dt")
-        if int(vec[7]) != n:
-            raise RuntimeError(
-                f"sharded state holds {int(vec[7])} of {n} particles at "
-                f"step {ev} — slab/capacity overflow recovery failed")
-        flagged = bool(vec[5])
-        if flagged or since_reshard >= reshard_every:
-            if flagged:
-                import warnings
+    meter = None
+    if perf_log:
+        from mdtpu.utils.profiling import StepRateMeter
 
-                warnings.warn(
-                    f"halo staleness/capacity flag in segment ending step "
-                    f"{ev}: emergency reshard (consider a smaller "
-                    f"reshard_every or larger skin)")
-            sh = do_reshard(sh)
-            since_reshard = 0
-            if flagged:
-                # Re-establish forces after the emergency rebuild.
-                if not is_brownian:
-                    e0, w0, f0 = forces_fn(sh.positions, sh.diameters,
-                                           sh.unitcell, sh.unitcell_inv,
-                                           sh.nbrs)
-                    sh = sh.replace(forces=f0, energy=e0, virial=w0)
-        is_thermo = ev in thermo_steps
-        wants_rows = ev in traj_steps or ev in snap_set
-        if is_thermo or wants_rows:
+        meter = StepRateMeter(os.path.join(pathname, "perf.txt"),
+                              append=start_step > 0)
+
+    current = start_step
+    try:
+        for ev in events:
+            n_adv = ev - current + 1
+            sh = advance(sh, n_adv)
+            current = ev + 1
+            since_reshard += n_adv
+            vec = np.asarray(event_scalars(sh))  # ONE scalar transfer
+            if meter is not None:
+                meter.tick(ev, n_adv)
+            if not bool(vec[6]):
+                raise RuntimeError(
+                    f"non-finite positions at step {ev}: the run diverged "
+                    f"(beyond-cutoff pairs contribute exact zeros, so "
+                    f"energies may still read 0.0) — reduce dt")
+            if int(vec[7]) != n:
+                raise RuntimeError(
+                    f"sharded state holds {int(vec[7])} of {n} particles at "
+                    f"step {ev} — slab/capacity overflow recovery failed")
+            flagged = bool(vec[5])
+            if flagged or since_reshard >= reshard_every:
+                if flagged:
+                    import warnings
+
+                    warnings.warn(
+                        f"halo staleness/capacity flag in segment ending "
+                        f"step {ev}: emergency reshard (consider a smaller "
+                        f"reshard_every or larger skin)")
+                sh = do_reshard(sh)
+                since_reshard = 0
+                if flagged:
+                    # Re-establish forces after the emergency rebuild.
+                    if not is_brownian:
+                        e0, w0, f0 = forces_fn(sh.positions, sh.diameters,
+                                               sh.unitcell, sh.unitcell_inv,
+                                               sh.nbrs)
+                        sh = sh.replace(forces=f0, energy=e0, virial=w0)
+            is_thermo = ev in thermo_steps
+            wants_rows = ev in traj_steps or ev in snap_set
             if is_thermo:
-                e = float(vec[0])
-                t = float(vec[1])
+                ener, t, pressure = _thermo_values(
+                    float(vec[0]), float(vec[1]), vec[2], vec[3], vec[4],
+                    is_brownian=is_brownian, ensemble=ensemble, n=n, dim=dim,
+                    volume=volume, density=density, e_lrc=e_lrc, p_lrc=p_lrc)
                 if is_brownian:
-                    nprom = max(int(vec[4]), 1)
-                    ener = e / n
-                    pressure = (float(vec[3])
-                                / (dim * nprom * volume)
-                                + density * float(ensemble.ktemp))
-                    t = float(ensemble.ktemp)
                     # Reset accumulators after output
                     # (/root/reference/src/simulation.jl:266).
                     sh = sh.replace(
                         virial_accum=jnp.zeros_like(sh.virial_accum),
                         nprom=jnp.zeros_like(sh.nprom))
-                else:
-                    ener = (e + e_lrc) / n
-                    pressure = (float(vec[2]) / (dim * volume)
-                                + density * t + p_lrc)
                 with open(thermo_file, "a") as io:
                     io.write(f"{ev} {ener:.6f} {t:.6f} {pressure:.6f}\n")
             if wants_rows:
@@ -274,25 +285,39 @@ def run_simulation_sharded(
                     write_lammps_frame(
                         os.path.join(pathname, f"snapshot.{ev}"), ev,
                         cell_np, pos, img, diam, mode="w")
-        if checkpoint_every is not None and ev % checkpoint_every == 0:
-            from mdtpu.io.checkpoint import save_checkpoint
+            if ev in checkpoint_steps:
+                from mdtpu.io.checkpoint import save_checkpoint
 
-            save_checkpoint(unpad_state(sh, engine),
-                            os.path.join(pathname, f"checkpoint.{ev}.npz"))
+                save_checkpoint(unpad_state(sh, engine),
+                                os.path.join(pathname,
+                                             f"checkpoint.{ev}.npz"))
 
-    if current < end_step:
-        # Tail past the last output event: the same staleness/escape check
-        # as every in-loop segment (the final state must not have been
-        # integrated with stale slab binning).
-        sh = advance(sh, end_step - current)
-        if bool(sh.nbrs.overflow):
-            import warnings
+        if current < end_step:
+            # Tail past the last output event: the same staleness/escape
+            # check as every in-loop segment (the final state must not have
+            # been integrated with stale slab binning).
+            sh = advance(sh, end_step - current)
+            if bool(sh.nbrs.overflow):
+                import warnings
 
-            warnings.warn(
-                f"halo staleness/capacity flag in the tail segment ending "
-                f"step {end_step}: emergency reshard")
-            sh = do_reshard(sh)
-    traj_writer.close()
+                warnings.warn(
+                    f"halo staleness/capacity flag in the tail segment "
+                    f"ending step {end_step}: emergency reshard")
+                sh = do_reshard(sh)
+    finally:
+        # A mid-run raise (divergence, particle loss, reshard overflow) must
+        # not lose the frames already buffered in the async writer — they
+        # are the trajectory tail one debugs the failure with (same contract
+        # as _drive_events).
+        import sys
+
+        try:
+            traj_writer.close()
+        except Exception:
+            # Don't mask an in-flight exception with a close failure; with
+            # no exception active, a failed disk write must surface.
+            if sys.exc_info()[0] is None:
+                raise
 
     final = unpad_state(sh, engine)
     finalize_simulation(trajectory_file, pathname, end_step, final,
@@ -458,13 +483,17 @@ def _run_sharded_slot(
         state = state.replace(nbrs=None)
 
     def build_sharded(particle_state, engine):
-        """Global slotify + shard, growing capacity until the binning fits
-        (build_sharded_slot_state raises ValueError on overflow)."""
+        """Global slotify + shard, growing capacity until the binning fits.
+        Only CapacityOverflowError triggers a grow — slotify's explanatory
+        ValueErrors (uniform-sigma mismatch, far-ramp slot budget) must
+        reach the user, and growing makes the budget case strictly worse."""
+        from mdtpu.integrate.slot_step import CapacityOverflowError
+
         for _ in range(8):
             try:
                 return build_sharded_slot_state(particle_state, engine,
                                                 mesh), engine
-            except ValueError:
+            except CapacityOverflowError:
                 engine = engine.with_grown_capacity()
         raise RuntimeError("cell capacity still overflowing after 8 grows")
 
@@ -473,8 +502,12 @@ def _run_sharded_slot(
     # after a capacity grow has the same structure.
 
     def build_advance(engine):
+        # n is part of the key (same rationale as _ADVANCE_CACHE): the
+        # batch advance bakes jnp.nonzero(size=n) into its output-row
+        # packing, so reusing it across particle counts (same engine for
+        # nearby N) would truncate or duplicate trajectory rows.
         key = (params, ensemble, engine, mesh, compensated, hilo,
-               is_brownian)
+               is_brownian, n)
         try:
             cached = _SHARDED_ADVANCE_CACHE.get(key)
         except TypeError:
@@ -494,10 +527,12 @@ def _run_sharded_slot(
         return engine.with_grown_capacity()
 
     def restore(seg_start, engine):
+        from mdtpu.integrate.slot_step import CapacityOverflowError
+
         try:
             return build_sharded_slot_state(
                 unshard_slot_state(seg_start), engine, mesh)
-        except ValueError:
+        except CapacityOverflowError:
             return None  # initial binning still too tight: grow again
 
     start_step = int(sh.step)

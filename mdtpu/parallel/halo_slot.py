@@ -525,8 +525,11 @@ def build_sharded_slot_state(state: SimulationState, engine: HaloSlotEngine,
 
     st = slotify(state, engine.as_single_chip())
     if bool(st.nbrs.overflow):
-        raise ValueError("initial slotify overflowed cell capacity — grow "
-                         "the engine capacity")
+        from mdtpu.integrate.slot_step import CapacityOverflowError
+
+        raise CapacityOverflowError(
+            "initial slotify overflowed cell capacity — grow the engine "
+            "capacity")
     # Per-shard overflow flag: (n_shards,) sharded -> local (1,).
     st = st.replace(nbrs=st.nbrs.replace(
         overflow=jnp.zeros((engine.n_shards,), bool)))

@@ -278,6 +278,26 @@ def _event_schedule(start_step, total_steps, frequency, traj_frequency,
     return thermo_steps, traj_steps, snap_set
 
 
+def _thermo_values(e, t, virial, virial_accum, nprom, *, is_brownian,
+                   ensemble, n, dim, volume, density, e_lrc, p_lrc):
+    """The ONE implementation of the reference's thermo arithmetic
+    (/root/reference/src/simulation.jl:118-131 MD path, :259-266 Brownian
+    path), shared by the event loop and the row-layout sharded loop.
+    Returns ``(energy_per_particle, temperature, pressure)``."""
+    if is_brownian:
+        # Per-particle energy without LRC; virial averaged over the 10-step
+        # samples; T column prints ktemp by construction.
+        nprom = max(int(nprom), 1)
+        ener = e / n
+        pressure = (float(virial_accum) / (dim * nprom * volume)
+                    + density * float(ensemble.ktemp))
+        t = float(ensemble.ktemp)
+    else:
+        ener = (e + e_lrc) / n
+        pressure = float(virial) / (dim * volume) + density * t + p_lrc
+    return ener, t, pressure
+
+
 def _capacity_msg(engine):
     msg = f"cell capacity {engine.cell_capacity}"
     mc = getattr(engine, "migration_capacity", None)
@@ -374,20 +394,11 @@ def _drive_events(state, engine, advance, *,
                 dev[name] = np.asarray(dev[name]).T[order]
             dev["positions"], dev["images"] = _host_wrap(
                 dev["positions"], dev["images"], unitcell_np)
-        e = float(dev["energy"])
-        t = float(dev["temperature"])
-        if is_brownian:
-            # /root/reference/src/simulation.jl:259-266 — per-particle energy
-            # without LRC, virial averaged over the 10-step samples.
-            nprom = max(int(dev["nprom"]), 1)
-            ener = e / n
-            pressure = float(dev["virial_accum"]) / (dim * nprom * volume) \
-                + density * float(ensemble.ktemp)
-            t = float(ensemble.ktemp)
-        else:
-            # /root/reference/src/simulation.jl:118-131
-            ener = (e + e_lrc) / n
-            pressure = float(dev["virial"]) / (dim * volume) + density * t + p_lrc
+        ener, t, pressure = _thermo_values(
+            float(dev["energy"]), float(dev["temperature"]), dev["virial"],
+            dev["virial_accum"], dev["nprom"], is_brownian=is_brownian,
+            ensemble=ensemble, n=n, dim=dim, volume=volume, density=density,
+            e_lrc=e_lrc, p_lrc=p_lrc)
         if s in thermo_steps:
             with open(thermo_file, "a") as io:
                 io.write(f"{s} {ener:.6f} {t:.6f} {pressure:.6f}\n")
@@ -608,6 +619,33 @@ def run_simulation(
     if engine is None:
         engine = select_engine(params.potential, state.cutoff, state)
 
+    # Slot-space fast path: for the cell-grid engine the whole state runs
+    # in cell-sorted component-major slot order (no per-step scatter/gather,
+    # rebuild hoisted out of the step, observable-free inner steps) —
+    # measured 3.7x the particle-order step at the N=65k bench. Outputs and
+    # the returned state are restored to original particle order via the
+    # carried ids row.
+    from mdtpu.core.types import NVE
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    use_slot = (isinstance(engine, CellGridEngine)
+                and state.dimension == len(engine.grid)
+                and state.dimension in (2, 3)
+                and compensated)
+    hilo = use_slot and (
+        precision == "f32x2"
+        or (precision == "auto" and isinstance(ensemble, NVE)
+            and state.positions.dtype == jnp.float32))
+    if precision == "f32x2" and not use_slot:
+        # An explicitly forced hi/lo sweep must not silently run plain.
+        raise ValueError(
+            "precision='f32x2' (the hi/lo pair sweep) requires the slot "
+            "fast path: a CellGridEngine matching the state's dimension "
+            "and compensated=True — got "
+            f"{type(engine).__name__}, dimension={state.dimension}, "
+            f"compensated={compensated}. Use precision='auto' to apply it "
+            "opportunistically.")
+
     # A resumed state APPENDS to outputs already in pathname when they are
     # the earlier part of this run (see should_resume_outputs) — truncating
     # would destroy the first segment's rows/frames while its snapshots
@@ -645,24 +683,6 @@ def run_simulation(
     # events never transfer them.
     diameters_np = np.asarray(state.diameters)
 
-    # Slot-space fast path: for the 3D cell-grid engine the whole state runs
-    # in cell-sorted component-major slot order (no per-step scatter/gather,
-    # rebuild hoisted out of the step, observable-free inner steps) —
-    # measured 3.7x the particle-order step at the N=65k bench. Outputs and
-    # the returned state are restored to original particle order via the
-    # carried ids row.
-    from mdtpu.ops.cell_grid import CellGridEngine
-
-    use_slot = (isinstance(engine, CellGridEngine)
-                and state.dimension == len(engine.grid)
-                and state.dimension in (2, 3)
-                and compensated)
-    from mdtpu.core.types import NVE
-
-    hilo = use_slot and (
-        precision == "f32x2"
-        or (precision == "auto" and isinstance(ensemble, NVE)
-            and state.positions.dtype == jnp.float32))
     if use_slot:
         from mdtpu.integrate.slot_step import (
             make_slot_advance, slot_forces, slotify, unslotify_state)

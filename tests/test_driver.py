@@ -605,3 +605,14 @@ def test_stale_outputs_truncated_not_appended(small_system):
     assert labels == [20, 30]
     traj = open(os.path.join(path, "seg2", "trajectory.xyz")).read()
     assert traj.count("ITEM: TIMESTEP") == 2
+
+
+def test_driver_rejects_forced_f32x2_off_slot_path(small_system, tmp_path):
+    """precision='f32x2' forced with an engine that cannot take the slot
+    fast path must raise (before any output truncation), not silently run
+    the plain sweep."""
+    state, params, _ = small_system
+    eng = NaivePairEngine(potential=params.potential, cutoff=1.5)
+    with pytest.raises(ValueError, match="f32x2"):
+        run_simulation(state, params, NVE(), 10, 10, str(tmp_path / "r"),
+                       engine=eng, precision="f32x2")

@@ -430,3 +430,75 @@ def test_sharded_decoupled_cadence_no_extra_steps(mesh, tmp_path):
     ref = np.loadtxt(tmp_path / "ref" / "thermo.txt")
     np.testing.assert_array_equal(sh[:, 0], ref[:, 0])  # step labels
     np.testing.assert_allclose(sh[:, 1:], ref[:, 1:], rtol=2e-5, atol=2e-5)
+
+
+def test_row_engine_checkpoints_unaligned_cadence(mesh, tmp_path):
+    """Row-engine path: checkpoint_every not aligned with the thermo cadence
+    must still write every requested checkpoint (checkpoints are their own
+    events, same contract as _drive_events), and perf_log must produce
+    perf.txt instead of being silently ignored."""
+    import os
+
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.parallel.halo import HaloCellGridEngine
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    halo = HaloCellGridEngine.create(pot, 1.5, 0.3,
+                                     np.asarray(state.unitcell), n,
+                                     n_shards=8)
+    p = str(tmp_path / "run")
+    run_simulation_sharded(state, params, NVE(), 30, 10, p, mesh=mesh,
+                           engine=halo, checkpoint_every=7, perf_log=True)
+    for s in (0, 7, 14, 21, 28):
+        assert os.path.isfile(os.path.join(p, f"checkpoint.{s}.npz")), s
+    assert os.path.isfile(os.path.join(p, "perf.txt"))
+
+
+def test_row_engine_rejects_forced_f32x2(mesh, tmp_path):
+    """The row-layout engine has no hi/lo sweep: an explicitly forced
+    precision='f32x2' must raise, not silently run the plain sweep."""
+    import pytest
+
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.parallel.halo import HaloCellGridEngine
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    halo = HaloCellGridEngine.create(pot, 1.5, 0.3,
+                                     np.asarray(state.unitcell), n,
+                                     n_shards=8)
+    with pytest.raises(ValueError, match="f32x2"):
+        run_simulation_sharded(state, params, NVE(), 10, 10,
+                               str(tmp_path / "r"), mesh=mesh, engine=halo,
+                               precision="f32x2")
+
+
+def test_sharded_uniform_sigma_mismatch_reaches_user(mesh, tmp_path):
+    """A uniform-sigma engine driven with polydisperse diameters must raise
+    slotify's explanatory error, not burn 8 capacity grows and report
+    'cell capacity still overflowing' (grow-and-retry catches only
+    CapacityOverflowError now)."""
+    import pytest
+
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.parallel.halo_slot import HaloSlotEngine
+
+    n, rho = 1200, 0.4
+    state = make_fluid_state(n=n, rho=rho, temp=0.75, dtype=jnp.float64,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      n, n_shards=8,
+                                      diameters=np.ones(n))
+    poly = state.replace(diameters=jnp.full(n, 1.1, jnp.float64))
+    with pytest.raises(ValueError, match="uniform_sigma"):
+        run_simulation_sharded(poly, params, NVE(), 10, 10,
+                               str(tmp_path / "r"), mesh=mesh, engine=eng)

@@ -54,7 +54,8 @@ def main(n=4096, rho=0.84, temp=0.75, steps=30_000, out="/tmp/validate_run"):
         counts += np.asarray(rdf_histogram(state.positions, state.unitcell,
                                            state.unitcell_inv, 3.0, 200))
         frames += 1
-    centers, g = rdf_normalize(counts, n, float(L) ** 3, 3.0,
+    volume = float(abs(np.linalg.det(np.asarray(cell, np.float64))))
+    centers, g = rdf_normalize(counts, n, volume, 3.0,
                                n_frames=frames, dim=3)
 
     peak_idx = int(np.argmax(g))
