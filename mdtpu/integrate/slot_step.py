@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
+from mdtpu.core.types import Brownian, Parameters, SimulationState
 from mdtpu.integrate.step import (_add, brownian_noise,
                                   brownian_virial_sample, md_velocity_finish)
 from mdtpu.ops.cell_grid import (

@@ -159,6 +159,119 @@ def ghost_z_window_hilo(hi, lo, ghost_shift):
             jnp.concatenate([zm_lo, lo, zp_lo], axis=3))
 
 
+def _slice_axis(w, sl, axis):
+    return w[(slice(None),) * axis + (sl,)]
+
+
+def ghost_shift(w, off, ghost, axis=0):
+    """Neighbor view of a window array along ``axis`` for stencil offset
+    ``off`` in {-1, 0, +1}: rows shift by one with periodic wrap, and the
+    wrapped slice carries the true (box-image-shifted) coordinates when
+    ``ghost`` is that component's cell vector entry (pass ``None`` for
+    diameters; zero-dim uniform-sigma scalars pass through). Ghost shifts
+    applied at window-construction time are what make the pair sweeps'
+    displacements true displacements with no per-slot minimum-image work."""
+    if jnp.ndim(w) == 0 or off == 0:
+        return w
+    if off == 1:
+        first = _slice_axis(w, slice(0, 1), axis)
+        if ghost is not None:
+            first = first + ghost
+        return jnp.concatenate(
+            [_slice_axis(w, slice(1, None), axis), first], axis=axis)
+    last = _slice_axis(w, slice(-1, None), axis)
+    if ghost is not None:
+        last = last - ghost
+    return jnp.concatenate(
+        [last, _slice_axis(w, slice(None, -1), axis)], axis=axis)
+
+
+def ghost_shift_hilo(w, w_lo, off, ghost, axis=0):
+    """`ghost_shift` for a hi/lo (double-f32) pair: the box shift goes
+    through an error-free two_sum on the hi word with the rounding residual
+    folded into the lo word (same mechanism as ghost_z_window_hilo — a
+    plain ``hi ± L`` would inject ~eps*L noise into every boundary pair,
+    defeating the hi/lo pair sweep that passes the NVE drift gate)."""
+    from mdtpu.utils.math import two_sum
+
+    if off == 0:
+        return w, w_lo
+    if off == 1:
+        first, r = two_sum(_slice_axis(w, slice(0, 1), axis), ghost)
+        return (jnp.concatenate(
+                    [_slice_axis(w, slice(1, None), axis), first], axis=axis),
+                jnp.concatenate(
+                    [_slice_axis(w_lo, slice(1, None), axis),
+                     _slice_axis(w_lo, slice(0, 1), axis) + r], axis=axis))
+    last, r = two_sum(_slice_axis(w, slice(-1, None), axis), -ghost)
+    return (jnp.concatenate(
+                [last, _slice_axis(w, slice(None, -1), axis)], axis=axis),
+            jnp.concatenate(
+                [_slice_axis(w_lo, slice(-1, None), axis) + r,
+                 _slice_axis(w_lo, slice(None, -1), axis)], axis=axis))
+
+
+def self_pair_diag_bump(cap, dtype):
+    """Self-pair exclusion for the (C, 3C) windowed pair tiles: window
+    column ``cap + i`` is own slot ``i``, and adding a huge value to that
+    diagonal band pushes self pairs past every cutoff — one add replaces an
+    occupancy mask (the potential contract's exact-zero-beyond-cutoff then
+    kills them, exactly like the far-pad vacants)."""
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
+    return jnp.where(j_ids == i_ids + cap, jnp.asarray(1e30, dtype),
+                     jnp.zeros((), dtype))[None, :, :]
+
+
+def make_pair_block(potential, own, own_lo, own_diam, diag_bump, cap,
+                    observables):
+    """The ONE windowed pair-block kernel shared by every sweep (2D
+    y-window, 3D z-window, x-plane scan, sharded halo): given the stencil's
+    neighbor window ``wc`` (a list of per-component (lead, 3C) arrays) and
+    its diameters ``wd``, return (energy_per_pair, f_over_r, r2, d_comps)
+    against the closure's own-slot coordinates (lead, C, 1).
+
+    This body is the precision-critical heart of the framework — the hi/lo
+    branch computes displacements via an error-free two_sum of the hi words
+    plus the lo difference (a plain hi difference rounds at ulp(r) ~ 1.2e-7
+    and measured 2.8e-4 NVE drift per 1e6 steps, 3x over the gate), and the
+    maskless r2 path relies on the potential contract's exact zeros beyond
+    cutoff to kill far-pad vacants (~1e12) and the self-pair diag bump
+    (~1e30). Keep it in one place.
+
+    No engine-level cutoff mask: the cmp + selects it would need were ~8%
+    of the sweep (creation-time validation guarantees the engine reach
+    covers the potential's maximum pair cutoff)."""
+    from mdtpu.utils.math import two_sum
+
+    dim = len(own)
+    lead = own[0].shape[0]
+
+    def pair_block(wc, wd, exclude_self, wc_lo=None):
+        wc = [w.reshape(lead, 1, 3 * cap) for w in wc]
+        if jnp.ndim(wd):
+            wd = wd.reshape(lead, 1, 3 * cap)
+        if wc_lo is not None:
+            wc_lo = [w.reshape(lead, 1, 3 * cap) for w in wc_lo]
+            d_comps = []
+            for k in range(dim):
+                s, e = two_sum(own[k], -wc[k])
+                d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
+        else:
+            d_comps = [own[k] - wc[k] for k in range(dim)]
+        r2 = sum(dk * dk for dk in d_comps)
+        if exclude_self:
+            r2 = r2 + diag_bump
+        if observables:
+            u, f_over_r = potential.evaluate_r2(r2, own_diam, wd)
+        else:
+            u = None
+            f_over_r = potential.force_r2(r2, own_diam, wd)
+        return u, f_over_r, r2, d_comps
+
+    return pair_block
+
+
 @struct.dataclass
 class CellGridState:
     addr: jnp.ndarray           # (N,) slot address of each particle: cid*C + rank
@@ -325,7 +438,6 @@ class CellGridEngine:
         pad = n_cells * cap + 1  # one trash slot for overflow writes
         occupied = jnp.zeros((pad,), bool).at[addr].set(True)[:-1]
 
-        pos_t = positions.T
         sorted_diam = jnp.ones((pad,), diameters.dtype).at[addr].set(diameters)[:-1]
 
         return CellGridState(
@@ -428,33 +540,9 @@ class CellGridEngine:
         own = [g.reshape(n_cells, cap, 1) for g in grids]
         own_diam3 = diam if jnp.ndim(diam) == 0 else diam.reshape(n_cells, cap, 1)
 
-        i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
-        diag_bump = jnp.where(j_ids == i_ids + cap,
-                              jnp.asarray(1e30, dtype),
-                              jnp.zeros((), dtype))[None, :, :]
-
-        def pair_block(wc, wd, exclude_self, wc_lo=None):
-            wc = [w.reshape(n_cells, 1, 3 * cap) for w in wc]
-            if jnp.ndim(wd):
-                wd = wd.reshape(n_cells, 1, 3 * cap)
-            if wc_lo is not None:
-                wc_lo = [w.reshape(n_cells, 1, 3 * cap) for w in wc_lo]
-                d_comps = []
-                for k in range(dim):
-                    s, e = two_sum(own[k], -wc[k])
-                    d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
-            else:
-                d_comps = [own[k] - wc[k] for k in range(dim)]
-            r2 = sum(dk * dk for dk in d_comps)
-            if exclude_self:
-                r2 = r2 + diag_bump
-            if observables:
-                u, f_over_r = self.potential.evaluate_r2(r2, own_diam3, wd)
-            else:
-                u = None
-                f_over_r = self.potential.force_r2(r2, own_diam3, wd)
-            return u, f_over_r, r2, d_comps
+        pair_block = make_pair_block(self.potential, own, own_lo, own_diam3,
+                                     self_pair_diag_bump(cap, dtype), cap,
+                                     observables)
 
         # Self column (ox = 0): every pair appears from both sides.
         u, f_over_r, r2s, d_comps = pair_block(win, win_diam, True,
@@ -474,18 +562,14 @@ class CellGridEngine:
 
         # x + 1 Newton half-stencil column.
         if hilo:
-            wc, wc_lo = [], []
-            for k in range(dim):
-                top, r = two_sum(win[k][:1], cell[k, 0])
-                wc.append(jnp.concatenate([win[k][1:], top], axis=0))
-                wc_lo.append(jnp.concatenate(
-                    [win_lo[k][1:], win_lo[k][:1] + r], axis=0))
+            shifted = [ghost_shift_hilo(win[k], win_lo[k], 1, cell[k, 0])
+                       for k in range(dim)]
+            wc = [s[0] for s in shifted]
+            wc_lo = [s[1] for s in shifted]
         else:
-            wc = [jnp.concatenate([win[k][1:], win[k][:1] + cell[k, 0]],
-                                  axis=0) for k in range(dim)]
+            wc = [ghost_shift(win[k], 1, cell[k, 0]) for k in range(dim)]
             wc_lo = None
-        wd = (win_diam if jnp.ndim(win_diam) == 0
-              else jnp.concatenate([win_diam[1:], win_diam[:1]], axis=0))
+        wd = ghost_shift(win_diam, 1, None)
         u, f_over_r, r2s, d_comps = pair_block(wc, wd, False, wc_lo=wc_lo)
         if observables:
             energy = energy + jnp.sum(u)
@@ -532,7 +616,12 @@ class CellGridEngine:
         diam = (jnp.asarray(self.uniform_sigma, positions.dtype)
                 if self.uniform_sigma
                 else nbrs.sorted_diam.reshape(self.grid + (cap,)))
-        energy, virial, f_own = self._zwindow_sweep(grids, diam, cell)
+        # Honor plane_scan here too: create_tuned enables it exactly when
+        # the dense (n_cells, C, 3C) tiles would exhaust HBM (or run slower
+        # HBM-bound) — the particle-order path must not rebuild them.
+        sweep = (self._zwindow_sweep_scan if self.plane_scan
+                 else self._zwindow_sweep)
+        energy, virial, f_own = sweep(grids, diam, cell)
         # Back to particle order: one (N,) gather per component.
         forces = jnp.stack(
             [f_own[k].reshape(-1)[nbrs.addr] for k in range(dim)], axis=-1)
@@ -590,46 +679,9 @@ class CellGridEngine:
         own = [g.reshape(n_cells, cap, 1) for g in grids]
         own_diam3 = diam if jnp.ndim(diam) == 0 else diam.reshape(n_cells, cap, 1)
 
-        # Self-pair exclusion: window column cap + i is own slot i; adding a
-        # huge value to that diagonal band pushes self pairs past the cutoff.
-        i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
-        diag_bump = jnp.where(j_ids == i_ids + cap,
-                              jnp.asarray(1e30, dtype),
-                              jnp.zeros((), dtype))[None, :, :]
-
-        def pair_block(wc, wd, exclude_self, wc_lo=None):
-            wc = [w.reshape(n_cells, 1, 3 * cap) for w in wc]
-            if jnp.ndim(wd):
-                wd = wd.reshape(n_cells, 1, 3 * cap)
-            if wc_lo is not None:
-                # Error-free hi difference (two_sum) + the lo difference:
-                # displacements exact to O(ulp^2) — a plain hi difference
-                # still rounds at ulp(r) ~ 1.2e-7, which measured 2.8e-4
-                # drift/1e6 steps on the NVE gate (3x over target).
-                from mdtpu.utils.math import two_sum
-
-                wc_lo = [w.reshape(n_cells, 1, 3 * cap) for w in wc_lo]
-                d_comps = []
-                for k in range(dim):
-                    s, e = two_sum(own[k], -wc[k])
-                    d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
-            else:
-                d_comps = [own[k] - wc[k] for k in range(dim)]
-            r2 = sum(dk * dk for dk in d_comps)
-            if exclude_self:
-                r2 = r2 + diag_bump
-            # No engine-level cutoff mask: the potential contract
-            # (potentials/base.py) guarantees exact zeros beyond the
-            # potential's own cutoff, which also kills far-pad vacants
-            # (r2 ~ 1e12) and the self-pair diag bump (r2 ~ 1e30) — the
-            # cmp + selects were ~8% of the sweep.
-            if observables:
-                u, f_over_r = self.potential.evaluate_r2(r2, own_diam3, wd)
-            else:
-                u = None
-                f_over_r = self.potential.force_r2(r2, own_diam3, wd)
-            return u, f_over_r, r2, d_comps
+        pair_block = make_pair_block(self.potential, own, own_lo, own_diam3,
+                                     self_pair_diag_bump(cap, dtype), cap,
+                                     observables)
 
         # Self column (ox = oy = 0): every pair appears from both sides.
         u, f_over_r, r2s, d_comps = pair_block(win, win_diam, True,
@@ -650,42 +702,13 @@ class CellGridEngine:
                     + jnp.roll(r[..., 2, :], 1, axis=2))
 
         def plane_shift(w, ox, oy, ghost_x, ghost_y):
-            """Neighbor view of a window array for in-plane offset (ox, oy),
-            with ghost shifts baked into the wrapped x/y planes (ghost_* is
-            the box length for that array's own component, else None).
-            Scalars (uniform sigma) pass through."""
-            if jnp.ndim(w) == 0:
-                return w
-            if ox == 1:
-                top = w[:1] + ghost_x if ghost_x is not None else w[:1]
-                w = jnp.concatenate([w[1:], top], axis=0)
-            if oy == 1:
-                left = w[:, :1] + ghost_y if ghost_y is not None else w[:, :1]
-                w = jnp.concatenate([w[:, 1:], left], axis=1)
-            elif oy == -1:
-                right = w[:, -1:] - ghost_y if ghost_y is not None else w[:, -1:]
-                w = jnp.concatenate([right, w[:, :-1]], axis=1)
-            return w
+            # In-plane offset (ox, oy) = chained per-axis ghost shifts.
+            return ghost_shift(ghost_shift(w, ox, ghost_x, axis=0),
+                               oy, ghost_y, axis=1)
 
         def plane_shift_hilo(w, w_lo, ox, oy, gx, gy):
-            """plane_shift with the ghost shifts two_summed into the lo word
-            (see ghost_z_window_hilo)."""
-            from mdtpu.utils.math import two_sum
-
-            if ox == 1:
-                top, r = two_sum(w[:1], gx)
-                w = jnp.concatenate([w[1:], top], axis=0)
-                w_lo = jnp.concatenate([w_lo[1:], w_lo[:1] + r], axis=0)
-            if oy == 1:
-                left, r = two_sum(w[:, :1], gy)
-                w = jnp.concatenate([w[:, 1:], left], axis=1)
-                w_lo = jnp.concatenate([w_lo[:, 1:], w_lo[:, :1] + r], axis=1)
-            elif oy == -1:
-                right, r = two_sum(w[:, -1:], -gy)
-                w = jnp.concatenate([right, w[:, :-1]], axis=1)
-                w_lo = jnp.concatenate([w_lo[:, -1:] + r, w_lo[:, :-1]],
-                                       axis=1)
-            return w, w_lo
+            w, w_lo = ghost_shift_hilo(w, w_lo, ox, gx, axis=0)
+            return ghost_shift_hilo(w, w_lo, oy, gy, axis=1)
 
         # In-plane Newton half stencil.
         for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
@@ -755,37 +778,14 @@ class CellGridEngine:
         win_diam = ghost_z_window(diam)                 # (nx, ny, nz, 3C)
         grids_s = jnp.stack(grids)                      # (3, nx, ny, nz, C)
 
-        i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
-        diag_bump = jnp.where(j_ids == i_ids + cap,
-                              jnp.asarray(1e30, dtype),
-                              jnp.zeros((), dtype))[None, :, :]
+        diag_bump = self_pair_diag_bump(cap, dtype)
 
         def yshift(w, oy, ghost_y):
-            # w (ny, nz, W); oy in {-1, 0, 1}; ghost_y = box shift for the
-            # wrapped row (None for diameters / reactions). Scalars
-            # (uniform sigma) pass through.
-            if jnp.ndim(w) == 0:
-                return w
-            if oy == 1:
-                left = w[:1] + ghost_y if ghost_y is not None else w[:1]
-                return jnp.concatenate([w[1:], left], axis=0)
-            if oy == -1:
-                right = w[-1:] - ghost_y if ghost_y is not None else w[-1:]
-                return jnp.concatenate([right, w[:-1]], axis=0)
-            return w
+            # w (ny, nz, W): the plane's y axis is axis 0.
+            return ghost_shift(w, oy, ghost_y, axis=0)
 
         def yshift_hilo(w, w_lo, oy, gy):
-            # Ghost y shift through two_sum: residual into the lo word.
-            if oy == 1:
-                left, r = two_sum(w[:1], gy)
-                return (jnp.concatenate([w[1:], left], axis=0),
-                        jnp.concatenate([w_lo[1:], w_lo[:1] + r], axis=0))
-            if oy == -1:
-                right, r = two_sum(w[-1:], -gy)
-                return (jnp.concatenate([right, w[:-1]], axis=0),
-                        jnp.concatenate([w_lo[-1:] + r, w_lo[:-1]], axis=0))
-            return w, w_lo
+            return ghost_shift_hilo(w, w_lo, oy, gy, axis=0)
 
         def unwindow_plane(reaction):
             # (m, 3C) window coords -> (ny, nz, C)
@@ -829,26 +829,8 @@ class CellGridEngine:
                        + jnp.where(wrap, cell[k, 0], jnp.zeros((), dtype))
                        for k in range(dim)]
 
-            def block(wc, wdd, exclude_self, wc_lo=None):
-                wc = [w.reshape(m, 1, 3 * cap) for w in wc]
-                if jnp.ndim(wdd):
-                    wdd = wdd.reshape(m, 1, 3 * cap)
-                if wc_lo is not None:
-                    wc_lo = [w.reshape(m, 1, 3 * cap) for w in wc_lo]
-                    d_comps = []
-                    for k in range(dim):
-                        s, e = two_sum(own[k], -wc[k])
-                        d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
-                else:
-                    d_comps = [own[k] - wc[k] for k in range(dim)]
-                r2 = sum(dk * dk for dk in d_comps)
-                if exclude_self:
-                    r2 = r2 + diag_bump
-                if observables:
-                    u, f = self.potential.evaluate_r2(r2, own_d, wdd)
-                else:
-                    u, f = None, self.potential.force_r2(r2, own_d, wdd)
-                return u, f, r2, d_comps
+            block = make_pair_block(self.potential, own, own_lo, own_d,
+                                    diag_bump, cap, observables)
 
             u, f, r2s, dcs = block(wp, wd, True, wc_lo=wp_lo)
             if observables:
@@ -894,8 +876,7 @@ class CellGridEngine:
         # Periodic wrap: plane nx-1's +x reactions belong to plane 0.
         f_planes = f_planes.at[0].add(react_final.reshape(dim, m, cap))
         # (nx, 3, m, C) -> per-comp (n_cells, C)
-        f_own = [jnp.moveaxis(f_planes[:, k], 0, 0).reshape(nx * m, cap)
-                 for k in range(dim)]
+        f_own = [f_planes[:, k].reshape(nx * m, cap) for k in range(dim)]
         return energy, virial, f_own
 
     def compute_slots(self, positions, diameters, cell, cell_inv,

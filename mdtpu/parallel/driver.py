@@ -38,7 +38,7 @@ from mdtpu.parallel.halo import (
 )
 from mdtpu.parallel.mesh import make_mesh
 from mdtpu.parallel.sharded import make_shard_map_step, shard_state
-from mdtpu.sim.driver import THERMO_HEADER, finalize_simulation, open_files
+from mdtpu.sim.driver import finalize_simulation
 
 
 def run_simulation_sharded(
@@ -103,11 +103,9 @@ def run_simulation_sharded(
             precision=precision, traj_frequency=traj_frequency,
             perf_log=perf_log)
 
-    from mdtpu.sim.driver import should_resume_outputs
-
     # Row-layout legacy path from here down. Fail loudly on options it
     # cannot honor (the slot path above handles them); validate BEFORE
-    # open_files truncates a previous run's outputs.
+    # the output files are touched.
     if precision not in ("auto", "f32x2", "plain"):
         raise ValueError(
             f"precision must be auto/f32x2/plain, got {precision!r}")
@@ -116,21 +114,6 @@ def run_simulation_sharded(
             "precision='f32x2' (the hi/lo pair sweep) requires the "
             "slot-layout halo engine (the default HaloSlotEngine); the "
             "row-layout HaloCellGridEngine has no hi/lo sweep")
-
-    resume = should_resume_outputs(pathname, thermo_name, int(state.step))
-    trajectory_file, thermo_file = open_files(pathname, traj_name,
-                                              thermo_name, resume=resume)
-    if not (resume and os.path.isfile(thermo_file)):
-        with open(thermo_file, "a") as io:
-            io.write(THERMO_HEADER)
-    from mdtpu.io.native_writer import open_trajectory_writer
-
-    traj_path = trajectory_file + ".zst" if compress else trajectory_file
-    append = resume and os.path.isfile(traj_path)
-    if os.path.isfile(traj_path) and not append:
-        os.remove(traj_path)
-    traj_writer = open_trajectory_writer(traj_path, compress=compress,
-                                         append=append)
 
     volume = float(box_volume(state.unitcell))
     dim = state.dimension
@@ -172,6 +155,14 @@ def run_simulation_sharded(
     # Diameters are run-constant: keep them host-side in original particle
     # order, never transfer them per event (same rule as the slot driver).
     diameters_np = np.asarray(state.diameters)
+
+    # Output files are opened only after everything above that can raise
+    # (option validation, the initial reshard's slab-overflow check) — a
+    # call that never runs a step must not touch a previous run's data.
+    from mdtpu.sim.driver import prepare_output_files
+
+    trajectory_file, thermo_file, traj_writer, _ = prepare_output_files(
+        pathname, traj_name, thermo_name, int(state.step), compress)
 
     def host_rows(s):
         """Pull valid rows to the host in original particle order."""
@@ -451,23 +442,6 @@ def _run_sharded_slot(
             or (precision == "auto" and isinstance(ensemble, NVE)
                 and state.positions.dtype == jnp.float32))
 
-    from mdtpu.sim.driver import should_resume_outputs
-
-    resume = should_resume_outputs(pathname, thermo_name, int(state.step))
-    trajectory_file, thermo_file = open_files(pathname, traj_name,
-                                              thermo_name, resume=resume)
-    if not (resume and os.path.isfile(thermo_file)):
-        with open(thermo_file, "a") as io:
-            io.write(THERMO_HEADER)
-    from mdtpu.io.native_writer import open_trajectory_writer
-
-    traj_path = trajectory_file + ".zst" if compress else trajectory_file
-    append = resume and os.path.isfile(traj_path)
-    if os.path.isfile(traj_path) and not append:
-        os.remove(traj_path)
-    traj_writer = open_trajectory_writer(traj_path, compress=compress,
-                                         append=append)
-
     volume = float(box_volume(state.unitcell))
     dim = state.dimension
     density = float(params.density)
@@ -500,6 +474,15 @@ def _run_sharded_slot(
     sh, engine = build_sharded(state, engine)
     spec_state = sh  # pytree structure only (slot_state_specs); any rebuild
     # after a capacity grow has the same structure.
+
+    # Output files open only after everything above that can raise
+    # (slotify's uniform-sigma/slot-budget validations inside
+    # build_sharded) — a call that never runs a step must not touch a
+    # previous run's data.
+    from mdtpu.sim.driver import prepare_output_files
+
+    trajectory_file, thermo_file, traj_writer, _ = prepare_output_files(
+        pathname, traj_name, thermo_name, int(state.step), compress)
 
     def build_advance(engine):
         # n is part of the key (same rationale as _ADVANCE_CACHE): the

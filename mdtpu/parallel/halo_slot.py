@@ -46,8 +46,12 @@ from flax import struct
 from mdtpu.core.types import SimulationState
 from mdtpu.ops.cell_grid import (
     CellGridEngine,
+    ghost_shift,
+    ghost_shift_hilo,
     ghost_z_window,
     ghost_z_window_hilo,
+    make_pair_block,
+    self_pair_diag_bump,
 )
 from mdtpu.parallel.mesh import SHARD_AXIS
 
@@ -367,33 +371,9 @@ class HaloSlotEngine:
         own_diam3 = (diam if uni
                      else diam.reshape(n_cells_loc, cap, 1))
 
-        i_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 0)
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 3 * cap), 1)
-        diag_bump = jnp.where(j_ids == i_ids + cap,
-                              jnp.asarray(1e30, dtype),
-                              jnp.zeros((), dtype))[None, :, :]
-
-        def pair_block(wc, wd, exclude_self, wc_lo=None):
-            wc = [w.reshape(n_cells_loc, 1, 3 * cap) for w in wc]
-            if jnp.ndim(wd):
-                wd = wd.reshape(n_cells_loc, 1, 3 * cap)
-            if wc_lo is not None:
-                wc_lo = [w.reshape(n_cells_loc, 1, 3 * cap) for w in wc_lo]
-                d_comps = []
-                for k in range(dim):
-                    s, e = two_sum(own[k], -wc[k])
-                    d_comps.append(s + (e + (own_lo[k] - wc_lo[k])))
-            else:
-                d_comps = [own[k] - wc[k] for k in range(dim)]
-            r2 = sum(dk * dk for dk in d_comps)
-            if exclude_self:
-                r2 = r2 + diag_bump
-            if observables:
-                u, f_over_r = self.potential.evaluate_r2(r2, own_diam3, wd)
-            else:
-                u = None
-                f_over_r = self.potential.force_r2(r2, own_diam3, wd)
-            return u, f_over_r, r2, d_comps
+        pair_block = make_pair_block(self.potential, own, own_lo, own_diam3,
+                                     self_pair_diag_bump(cap, dtype), cap,
+                                     observables)
 
         # Self column: every pair appears from both sides.
         u, f_over_r, r2s, d_comps = pair_block(win, win_diam, True,
@@ -412,28 +392,11 @@ class HaloSlotEngine:
                     + jnp.roll(r[..., 2, :], 1, axis=2))
 
         def yshift(w, oy, gy):
-            if jnp.ndim(w) == 0:     # uniform-sigma scalar passes through
-                return w
-            if oy == 1:
-                first = w[:, :1] + gy if gy is not None else w[:, :1]
-                return jnp.concatenate([w[:, 1:], first], axis=1)
-            if oy == -1:
-                last = w[:, -1:] - gy if gy is not None else w[:, -1:]
-                return jnp.concatenate([last, w[:, :-1]], axis=1)
-            return w
+            # Window arrays here are (mx, ny, nz, 3C): y is axis 1.
+            return ghost_shift(w, oy, gy, axis=1)
 
         def yshift_hilo(w, w_lo, oy, gy):
-            if oy == 1:
-                first, r = two_sum(w[:, :1], gy)
-                return (jnp.concatenate([w[:, 1:], first], axis=1),
-                        jnp.concatenate([w_lo[:, 1:], w_lo[:, :1] + r],
-                                        axis=1))
-            if oy == -1:
-                last, r = two_sum(w[:, -1:], -gy)
-                return (jnp.concatenate([last, w[:, :-1]], axis=1),
-                        jnp.concatenate([w_lo[:, -1:] + r, w_lo[:, :-1]],
-                                        axis=1))
-            return w, w_lo
+            return ghost_shift_hilo(w, w_lo, oy, gy, axis=1)
 
         # Reaction accumulator over mx + 1 planes (the +1 receives the
         # reactions destined for the ghost plane / right neighbor).

@@ -40,31 +40,131 @@ from mdtpu.io.logtimes import generate_log_times
 THERMO_HEADER = "# Step Energy Temperature Pressure\n"
 
 
-def should_resume_outputs(pathname, thermo_name, state_step):
-    """Append to existing outputs only when they are the EARLIER part of
-    this very run: the existing thermo's last step label must be below the
-    resumed state's step. A stale previous invocation (labels >= the
-    state's step — e.g. re-running a script whose input state always
-    reaches the same step) truncates like a fresh run, otherwise every
-    re-run would append duplicate rows/frames."""
-    if int(state_step) <= 0:
-        return False
-    thermo_file = os.path.join(pathname, thermo_name)
-    if not os.path.isfile(thermo_file):
-        return False
+def _filter_thermo_rows(thermo_file, state_step):
+    """Drop thermo rows labelled >= ``state_step`` in place (they belong to
+    a LATER part of a previous invocation — a stale rerun of the same input
+    state, or the post-crash tail of the very run now being resumed).
+    Header/comment lines are kept."""
     try:
-        with open(thermo_file, "rb") as f:
-            f.seek(0, os.SEEK_END)
-            size = f.tell()
-            f.seek(max(0, size - 4096))
-            tail = f.read().decode(errors="replace").strip().splitlines()
-        for line in reversed(tail):
-            line = line.strip()
-            if line and not line.startswith("#"):
-                return int(line.split()[0]) < int(state_step)
-        return False
-    except (OSError, ValueError):
-        return False
+        with open(thermo_file) as f:
+            lines = f.readlines()
+    except OSError:
+        return
+    kept, dropped = [], 0
+    for line in lines:
+        s = line.strip()
+        if s and not s.startswith("#"):
+            try:
+                if int(s.split()[0]) >= state_step:
+                    dropped += 1
+                    continue
+            except ValueError:
+                pass
+        kept.append(line)
+    if dropped:
+        with open(thermo_file, "w") as f:
+            f.writelines(kept)
+
+
+def _copy_frames_below(line_iter, write, state_step):
+    """Stream LAMMPS-dump lines, writing only frames whose TIMESTEP label is
+    below ``state_step``. Returns (frames_kept, frames_dropped)."""
+    kept = dropped = 0
+    frame, keep, expect_step = [], True, False
+    def flush():
+        nonlocal kept, dropped
+        if frame:
+            if keep:
+                write("".join(frame))
+                kept += 1
+            else:
+                dropped += 1
+    for line in line_iter:
+        if line.startswith("ITEM: TIMESTEP"):
+            flush()
+            frame, keep, expect_step = [line], True, True
+            continue
+        if expect_step:
+            expect_step = False
+            try:
+                keep = int(line.split()[0]) < state_step
+            except (ValueError, IndexError):
+                keep = True
+        if frame:
+            frame.append(line)
+        else:
+            write(line)
+    flush()
+    return kept, dropped
+
+
+def _filter_trajectory_frames(traj_path, state_step, compressed):
+    """Drop trajectory frames labelled >= ``state_step`` in place (see
+    _filter_thermo_rows). Handles both the plain LAMMPS-dump file and the
+    zstd-compressed stream the native writer appends to."""
+    tmp = traj_path + ".resume-tmp"
+    try:
+        if compressed:
+            import zstandard as zstd
+            import io as _io
+
+            with open(traj_path, "rb") as fin, open(tmp, "wb") as fout:
+                reader = zstd.ZstdDecompressor().stream_reader(
+                    fin, read_across_frames=True)
+                with zstd.ZstdCompressor(level=3).stream_writer(
+                        fout, closefd=False) as writer:
+                    text = _io.TextIOWrapper(reader, encoding="utf-8",
+                                             errors="replace")
+                    _, dropped = _copy_frames_below(
+                        text, lambda s: writer.write(s.encode()), state_step)
+        else:
+            with open(traj_path) as fin, open(tmp, "w") as fout:
+                _, dropped = _copy_frames_below(fin, fout.write, state_step)
+        if dropped:
+            os.replace(tmp, traj_path)
+        else:
+            os.remove(tmp)
+    except OSError:
+        if os.path.isfile(tmp):
+            os.remove(tmp)
+
+
+def prepare_output_files(pathname, traj_name, thermo_name, state_step,
+                         compress):
+    """Open the run's thermo/trajectory outputs, reconciled with the state
+    being run. A fresh state (step <= 0) truncates like the reference
+    (/root/reference/src/io.jl:225-239 — it always starts at step 0). A
+    RESUMED state (step > 0) keeps rows/frames labelled BELOW the state's
+    step and appends after them: labels >= the step are either a stale
+    rerun's duplicates or the post-crash tail of this very run — both are
+    superseded by what the resumed run will rewrite — while the earlier
+    rows are this run's history and deleting them would leave an
+    inconsistent directory (snapshot.* files survive but thermo/trajectory
+    restart mid-run).
+
+    Returns (trajectory_file, thermo_file, traj_writer, resumed)."""
+    os.makedirs(pathname, exist_ok=True)
+    trajectory_file = os.path.join(pathname, traj_name)
+    thermo_file = os.path.join(pathname, thermo_name)
+    traj_path = trajectory_file + ".zst" if compress else trajectory_file
+    step = int(state_step)
+    fresh = step <= 0 or not os.path.isfile(thermo_file)
+    if fresh:
+        for f in {trajectory_file, thermo_file, trajectory_file + ".zst"}:
+            if os.path.isfile(f):
+                os.remove(f)
+        with open(thermo_file, "w") as io_:
+            io_.write(THERMO_HEADER)
+    else:
+        _filter_thermo_rows(thermo_file, step)
+        if os.path.isfile(traj_path):
+            _filter_trajectory_frames(traj_path, step, compressed=compress)
+    from mdtpu.io.native_writer import open_trajectory_writer
+
+    append = not fresh and os.path.isfile(traj_path)
+    traj_writer = open_trajectory_writer(traj_path, compress=compress,
+                                         append=append)
+    return trajectory_file, thermo_file, traj_writer, not fresh
 
 
 def open_files(pathname, traj_name, thermo_name, resume=False):
@@ -463,6 +563,24 @@ def _drive_events(state, engine, advance, *,
             # with execution is slower on the tunnel (BENCH_NOTES).
             on_dispatched()
         vecs = np.asarray(vecs_dev)  # ONE scalar transfer for the batch
+
+        def check_diverged(vecs):
+            bad = np.flatnonzero(vecs[:K, 6])
+            if bad.size:
+                raise RuntimeError(
+                    f"simulation diverged (non-finite positions) at or "
+                    f"before step {batch[int(bad[0])][0]} — the integrator "
+                    f"left its stability region. For Brownian/overdamped "
+                    f"runs reduce dt (steep potentials need max|f|*dt/kT "
+                    f"well below the core scale); for MD check the starting "
+                    f"configuration for overlaps (minimize first) or use "
+                    f"dtype=float64.")
+
+        # Divergence FIRST: inf positions can trigger a rebin whose clipped
+        # binning overflows, so a diverged run may also raise the overflow
+        # flag — growing capacity and replaying would diverge identically 8
+        # times and then report the wrong error.
+        check_diverged(vecs)
         if bool(vecs[:K, 5].any()):
             import warnings
 
@@ -484,15 +602,7 @@ def _drive_events(state, engine, advance, *,
                 raise RuntimeError(
                     "engine capacity still overflowing after 8 grows")
 
-        bad = np.flatnonzero(vecs[:K, 6])
-        if bad.size:
-            raise RuntimeError(
-                f"simulation diverged (non-finite positions) at or before "
-                f"step {batch[int(bad[0])][0]} — the integrator left its "
-                f"stability region. For Brownian/overdamped runs reduce dt "
-                f"(steep potentials need max|f|*dt/kT well below the core "
-                f"scale); for MD check the starting configuration for "
-                f"overlaps (minimize first) or use dtype=float64.")
+        check_diverged(vecs)  # re-check: the grow loop re-ran the batch
         if use_slot:
             lost = np.flatnonzero(vecs[:K, 7] != n)
             if lost.size:
@@ -612,8 +722,9 @@ def run_simulation(
     remote-tunnel TPU that host pull dominates high-frequency output cost."""
     from mdtpu.ops import select_engine
 
-    # Validate arguments BEFORE open_files truncates a previous run's
-    # outputs — a typo'd precision= must not destroy data.
+    # Validate arguments BEFORE the output files are touched — a typo'd
+    # precision= must not destroy a previous run's data (prepare_output_files
+    # runs after every raising validation below for the same reason).
     if precision not in ("auto", "f32x2", "plain"):
         raise ValueError(f"precision must be auto/f32x2/plain, got {precision!r}")
     if engine is None:
@@ -645,30 +756,6 @@ def run_simulation(
             f"{type(engine).__name__}, dimension={state.dimension}, "
             f"compensated={compensated}. Use precision='auto' to apply it "
             "opportunistically.")
-
-    # A resumed state APPENDS to outputs already in pathname when they are
-    # the earlier part of this run (see should_resume_outputs) — truncating
-    # would destroy the first segment's rows/frames while its snapshots
-    # survive (an inconsistent run directory).
-    resume = should_resume_outputs(pathname, thermo_name, int(state.step))
-    trajectory_file, thermo_file = open_files(pathname, traj_name,
-                                              thermo_name, resume=resume)
-    if not (resume and os.path.isfile(thermo_file)):
-        with open(thermo_file, "a") as io:
-            io.write(THERMO_HEADER)
-
-    # Async trajectory writer (C++ background thread when available). With
-    # compress=True the zstd stream is written directly — same end state as
-    # the reference's compress-then-delete (trajectory.xyz.zst, no plain
-    # file), without the 2x disk and post-pass.
-    from mdtpu.io.native_writer import open_trajectory_writer
-
-    traj_path = trajectory_file + ".zst" if compress else trajectory_file
-    append = resume and os.path.isfile(traj_path)
-    if os.path.isfile(traj_path) and not append:
-        os.remove(traj_path)
-    traj_writer = open_trajectory_writer(traj_path, compress=compress,
-                                         append=append)
 
     is_brownian = isinstance(ensemble, Brownian)
     potential = params.potential
@@ -712,6 +799,17 @@ def run_simulation(
                                              state.diameters, state.unitcell,
                                              state.unitcell_inv, state.nbrs)
             state = state.replace(forces=f0, energy=e0, virial=w0, nbrs=nbrs)
+
+    # Open (and reconcile, for a resumed state) the output files only AFTER
+    # every validation that can raise — argument checks above, slotify's
+    # uniform-sigma/slot-budget errors and the initial binning inside
+    # build_slot — so a call that never runs a step never touches a
+    # previous run's data. The trajectory writer is the async C++
+    # background thread when available; with compress=True the zstd stream
+    # is written directly (same end state as the reference's
+    # compress-then-delete: trajectory.xyz.zst, no plain file).
+    trajectory_file, thermo_file, traj_writer, _ = prepare_output_files(
+        pathname, traj_name, thermo_name, int(state.step), compress)
 
     def build_advance(engine):
         # n is part of the key: _pack_output_rows bakes jnp.nonzero(size=n)

@@ -248,6 +248,20 @@ def test_plane_scan_sweep_matches_dense():
         *args, observables=False)
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
 
+    # The particle-order path (engine.compute) must honor plane_scan too:
+    # create_tuned enables it exactly when the dense tiles exhaust HBM, and
+    # callers like make_step/engine_forces go through compute().
+    nbrs = eng.allocate(state.positions, state.diameters, state.unitcell,
+                        state.unitcell_inv)
+    pargs = (state.positions, state.diameters, state.unitcell,
+             state.unitcell_inv, nbrs)
+    pe0, pw0, pf0, _ = eng.compute(*pargs)
+    pe1, pw1, pf1, _ = eng.replace(plane_scan=True).compute(*pargs)
+    np.testing.assert_allclose(float(pe1), float(pe0), rtol=1e-12)
+    np.testing.assert_allclose(float(pw1), float(pw0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(pf1), np.asarray(pf0),
+                               rtol=1e-12, atol=1e-12)
+
 
 def _fluid_2d(n=800, rho=0.5, tilt=0.0, dtype=jnp.float64, seed=7,
               jitter=0.08):

@@ -576,6 +576,107 @@ def test_resume_into_same_pathname_appends(small_system):
     assert traj.count("ITEM: TIMESTEP") == 4
 
 
+def test_crash_resume_keeps_pre_checkpoint_rows(small_system):
+    """Resuming from a mid-run checkpoint after a crash keeps the thermo
+    rows / trajectory frames written BEFORE the checkpoint and drops only
+    the post-checkpoint tail (which the resumed run rewrites). Previously
+    any label >= the state's step truncated the WHOLE file, permanently
+    destroying the pre-checkpoint history this resume can never rewrite."""
+    from mdtpu.io.checkpoint import load_checkpoint
+
+    state, params, path = small_system
+    run_simulation(state, params, NVE(), total_steps=40, frequency=10,
+                   pathname=path, checkpoint_every=20)
+    thermo = os.path.join(path, "thermo.txt")
+    traj = os.path.join(path, "trajectory.xyz")
+    before_thermo = open(thermo).read()
+    before_traj = open(traj).read()
+    # "Crash after step 30, resume from the step-20 checkpoint": the
+    # directory holds rows/frames 0..30; the restored state is at step 21.
+    mid = load_checkpoint(os.path.join(path, "checkpoint.20.npz"), state)
+    assert int(mid.step) == 21
+    run_simulation(mid, params, NVE(), total_steps=19, frequency=10,
+                   pathname=path)
+    # The resumed run replays 21..39 exactly (NVE checkpoints are exact),
+    # so the directory ends up byte-identical to the uninterrupted run.
+    assert open(thermo).read() == before_thermo
+    assert open(traj).read() == before_traj
+
+
+def test_crash_resume_filters_compressed_trajectory(small_system):
+    """The selective resume truncation handles the zstd-compressed
+    trajectory stream too (decompress-filter-recompress)."""
+    from mdtpu.io.checkpoint import load_checkpoint
+    from mdtpu.io.compress import decompress_zstd
+
+    state, params, path = small_system
+    run = os.path.join(path, "zst")
+    run_simulation(state, params, NVE(), total_steps=40, frequency=10,
+                   pathname=run, checkpoint_every=20, compress=True)
+    mid = load_checkpoint(os.path.join(run, "checkpoint.20.npz"), state)
+    run_simulation(mid, params, NVE(), total_steps=19, frequency=10,
+                   pathname=run, compress=True)
+    plain = decompress_zstd(os.path.join(run, "trajectory.xyz.zst"))
+    text = open(plain).read()
+    steps = [int(l) for prev, l in zip(text.splitlines(), text.splitlines()[1:])
+             if prev.startswith("ITEM: TIMESTEP")]
+    assert steps == [0, 10, 20, 30]
+
+
+def test_failed_validation_preserves_previous_outputs(tmp_path):
+    """A run_simulation call that raises during setup (here: slotify's
+    uniform-sigma mismatch) must not have touched the directory's outputs —
+    previously the files were truncated before the validation ran."""
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    path = str(tmp_path)
+    pot = PseudoHS()
+    params = Parameters(density=0.5, n_particles=256, dt=0.001, potential=pot)
+    state = initialize_state(params, path, dimension=3, cutoff=1.5,
+                             dtype=jnp.float64, seed=1)
+    v = initialize_velocities(1.0, jax.random.PRNGKey(2), 256, 3,
+                              dtype=jnp.float64)
+    state = state.replace(velocities=v)
+    run_simulation(state, params, NVE(), total_steps=20, frequency=10,
+                   pathname=path)
+    thermo = os.path.join(path, "thermo.txt")
+    traj = os.path.join(path, "trajectory.xyz")
+    before_thermo = open(thermo).read()
+    before_traj = open(traj).read()
+
+    n = state.n_particles
+    eng = CellGridEngine.create(params.potential, 1.5, 0.6,
+                                np.asarray(state.unitcell), n,
+                                diameters=np.ones(n))
+    poly = state.replace(diameters=jnp.linspace(0.8, 1.2, n,
+                                                dtype=state.diameters.dtype))
+    with pytest.raises(ValueError, match="uniform_sigma"):
+        run_simulation(poly, params, NVE(), total_steps=10, frequency=10,
+                       pathname=path, engine=eng)
+    assert open(thermo).read() == before_thermo
+    assert open(traj).read() == before_traj
+
+
+def test_nve_divergence_raises(tmp_path):
+    """The divergence raise covers MD (velocity-Verlet kinetic explosion),
+    not just the Brownian path. The driver checks the divergence flag
+    BEFORE the overflow flag: inf positions can trigger a rebin whose
+    clipped binning overflows, and growing capacity 8 times and replaying
+    would report the wrong error."""
+    pot = PseudoHS()
+    # f32 + a dt far past the Verlet stability bound: forces overflow to
+    # inf within a few steps and positions go non-finite.
+    params = Parameters(density=0.5, n_particles=128, dt=0.05, potential=pot)
+    state = initialize_state(params, str(tmp_path), dimension=3, cutoff=1.5,
+                             seed=3, dtype=jnp.float32)
+    v = initialize_velocities(50.0, jax.random.PRNGKey(4), 128, 3,
+                              dtype=jnp.float32)
+    state = state.replace(velocities=v)
+    with pytest.raises(RuntimeError, match="diverged"):
+        run_simulation(state, params, NVE(), total_steps=400, frequency=100,
+                       pathname=str(tmp_path / "boom"))
+
+
 def test_checkpoint_every_not_quantized_to_output_cadence(small_system):
     """checkpoint_every misaligned with the thermo cadence still writes
     checkpoints at its own steps (they are events of their own; previously
