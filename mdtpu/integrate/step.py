@@ -19,14 +19,13 @@ deterministic and exactly resumable from a checkpoint.
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from mdtpu.core.box import wrap_positions, wrap_positions_compensated
 from mdtpu.core.types import NVE, NVT, Brownian, Parameters, SimulationState
-from mdtpu.integrate.thermostat import bussi_rescale, compute_temperature
+from mdtpu.integrate.thermostat import compute_temperature
 from mdtpu.utils.math import kahan_add
 
 SQRT3 = math.sqrt(3.0)

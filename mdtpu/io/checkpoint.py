@@ -46,7 +46,21 @@ def load_checkpoint(filepath, template_state):
             val = data[name]
             tmpl = getattr(template_state, name)
             if name == "key":
-                updates[name] = jax.random.wrap_key_data(jnp.asarray(val))
+                # Match the TEMPLATE's key representation: rewrapping a raw
+                # uint32 key as a typed key<fry> changes the pytree leaf's
+                # dtype/shape, invalidating every program compiled against
+                # the original signature (a fresh ~60 s TPU compile per
+                # program) — and wrap_key_data under a non-threefry
+                # jax_default_prng_impl would mis-wrap the stored words.
+                if tmpl is not None and jnp.issubdtype(
+                        jnp.asarray(tmpl).dtype, jax.dtypes.prng_key):
+                    updates[name] = jax.random.wrap_key_data(
+                        jnp.asarray(val),
+                        impl=jax.random.key_impl(tmpl))
+                else:
+                    updates[name] = jnp.asarray(
+                        val, dtype=None if tmpl is None
+                        else jnp.asarray(tmpl).dtype)
             elif tmpl is not None:
                 updates[name] = jnp.asarray(val, dtype=jnp.asarray(tmpl).dtype)
             else:

@@ -120,13 +120,17 @@ class PythonTrajectoryWriter:
         self._queue: "queue.Queue" = queue.Queue()
         self._error = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._io = open(path, "ab" if append else "wb")
         self._cctx = None
         self._zwriter = None
         if compress:
+            # Import BEFORE opening (and truncating) the output: a missing
+            # zstandard package must not leave a leaked handle and a
+            # zero-byte file behind.
             import zstandard
 
             self._cctx = zstandard.ZstdCompressor(level=level)
+        self._io = open(path, "ab" if append else "wb")
+        if self._cctx is not None:
             self._zwriter = self._cctx.stream_writer(self._io)
         self._thread.start()
 
@@ -137,21 +141,29 @@ class PythonTrajectoryWriter:
             self._io.write(data)
 
     def _loop(self):
+        from mdtpu.io.lammps import format_lammps_frame
+
         while True:
             item = self._queue.get()
             if item is None:
                 return
             try:
+                if isinstance(item, tuple):
+                    # Frame FORMATTING runs here too: the per-atom Python
+                    # loop costs ~1 s per 1e5-atom frame — formatting on the
+                    # caller thread would stall the device loop, the exact
+                    # blocking this background writer exists to prevent.
+                    item = format_lammps_frame(*item).encode()
                 self._sink(item)
             except Exception as exc:  # surface at close(); keep draining
                 if self._error is None:
                     self._error = exc
 
     def write_frame(self, step, unitcell, positions, images, diameters):
-        from mdtpu.io.lammps import format_lammps_frame
-
-        frame = format_lammps_frame(step, unitcell, positions, images, diameters)
-        self._queue.put(frame.encode())
+        # Copy: the caller may reuse/mutate its buffers before the
+        # background thread formats them (the native writer copies too).
+        self._queue.put((step, np.array(unitcell), np.array(positions),
+                         np.array(images), np.array(diameters)))
 
     def write_text(self, text: str):
         self._queue.put(text.encode())

@@ -66,6 +66,7 @@ def fire_minimize(
     still has contacts — the run retries with grown capacity until the
     overflow flag clears (same policy as the driver's restore-and-rerun).
     """
+    grew = False
     for _ in range(8):
         out = _fire_once(state, params, engine, max_steps=max_steps, tol=tol,
                          dt_initial=dt_initial, dt_max=dt_max, alpha0=alpha0,
@@ -74,7 +75,15 @@ def fire_minimize(
         over = getattr(new_state.nbrs, "overflow", None)
         grow = getattr(engine, "with_grown_capacity", None)
         if over is None or not bool(over) or grow is None:
+            if grew:
+                # The retries ran on an internally-grown engine the caller
+                # never sees: returning its grown-capacity nbrs alongside
+                # the caller's original engine would mismatch shapes (or
+                # silently read the wrong static capacity) at the next
+                # compute/needs_rebuild. Drop them; consumers re-allocate.
+                return (new_state.replace(nbrs=None),) + tuple(out[1:])
             return out
+        grew = True
         engine = grow()
         state = state.replace(nbrs=None)  # re-allocate at grown capacity
     raise RuntimeError(

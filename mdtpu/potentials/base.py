@@ -108,6 +108,25 @@ def check_engine_cutoff(potential, cutoff, max_sigma=1.0):
             f"reach would be silently dropped — increase the engine cutoff")
 
 
+def lj_tail_corrections(epsilon, sigma, r_cut, n_particles, volume):
+    """The ONE closed-form LJ tail-correction pair (total energy, pressure)
+    shared by LennardJones and LennardJonesXPLOR — the reference implements
+    the same forms twice (/root/reference/src/potentials.jl:111-128 LJ,
+    :256-271 XPLOR); keeping two copies here let them drift once already
+    (the eps*sigma^3 prefactor fix)."""
+    import math
+
+    rho = n_particles / volume
+    src3 = (sigma / r_cut) ** 3
+    src9 = src3 ** 3
+    pref = epsilon * sigma ** 3
+    e_total = ((8.0 * math.pi * rho * pref / 3.0)
+               * (src9 / 3.0 - src3)) * n_particles
+    p_total = (16.0 * math.pi * rho ** 2 * pref / 3.0) * (2.0 * src9 / 3.0
+                                                          - src3)
+    return e_total, p_total
+
+
 def lorentz_sigma(mixing, self_sigma, sigma_i, sigma_j, dtype):
     """The ONE sigma-mixing rule shared by the built-in potentials:
     Lorentz arithmetic mean (the reference's convention,

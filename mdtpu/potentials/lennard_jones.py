@@ -19,13 +19,12 @@ repo's XPLOR tail formulas. Identical to the reference at eps = sigma = 1.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from mdtpu.potentials.base import Potential
+from mdtpu.potentials.base import Potential, lj_tail_corrections, lorentz_sigma
 
 
 def _sr_powers(sigma, r):
@@ -50,8 +49,6 @@ class LennardJones(Potential):
     mixing: str = struct.field(pytree_node=False, default="lorentz")
 
     def _mixed_sigma(self, sigma_i, sigma_j, dtype):
-        from mdtpu.potentials.base import lorentz_sigma
-
         return lorentz_sigma(self.mixing, self.sigma, sigma_i, sigma_j, dtype)
 
     def max_cutoff(self, max_sigma=1.0):
@@ -155,18 +152,11 @@ class LennardJones(Potential):
     def energy_lrc(self, n_particles, volume):
         if not self.tail_correction:
             return jnp.asarray(0.0)
-        rho = n_particles / volume
-        src3 = (self.sigma / self.r_cut) ** 3
-        src9 = src3 ** 3
-        pref = self.epsilon * self.sigma ** 3
-        per_particle = (8.0 * math.pi * rho * pref / 3.0) * (src9 / 3.0 - src3)
-        return per_particle * n_particles
+        return lj_tail_corrections(self.epsilon, self.sigma, self.r_cut,
+                                   n_particles, volume)[0]
 
     def pressure_lrc(self, n_particles, volume):
         if not self.tail_correction:
             return jnp.asarray(0.0)
-        rho = n_particles / volume
-        src3 = (self.sigma / self.r_cut) ** 3
-        src9 = src3 ** 3
-        pref = self.epsilon * self.sigma ** 3
-        return (16.0 * math.pi * rho ** 2 * pref / 3.0) * (2.0 * src9 / 3.0 - src3)
+        return lj_tail_corrections(self.epsilon, self.sigma, self.r_cut,
+                                   n_particles, volume)[1]

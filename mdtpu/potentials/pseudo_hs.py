@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from mdtpu.potentials.base import Potential
+from mdtpu.potentials.base import Potential, lorentz_sigma
 from mdtpu.utils.math import ipow
 
 # /root/reference/src/potentials.jl:2-3
@@ -37,6 +37,9 @@ A_PARAM = 134.5526623421209
 class PseudoHS(Potential):
     lam: int = struct.field(pytree_node=False, default=50)
     sigma_scaled_cutoff: bool = struct.field(pytree_node=False, default=True)
+    # Shared sigma-mixing rule (base.lorentz_sigma): "lorentz" or "none"
+    # (PseudoHS's own length scale is 1, the reference's implicit choice).
+    mixing: str = struct.field(pytree_node=False, default="lorentz")
 
     def max_cutoff(self, max_sigma=1.0):
         return B_PARAM * float(max_sigma) if self.sigma_scaled_cutoff \
@@ -45,7 +48,7 @@ class PseudoHS(Potential):
     def evaluate(self, r, sigma_i=1.0, sigma_j=1.0):
         lam = self.lam
         dtype = jnp.asarray(r).dtype
-        sigma = 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+        sigma = lorentz_sigma(self.mixing, 1.0, sigma_i, sigma_j, dtype)
         cutoff = B_PARAM * sigma if self.sigma_scaled_cutoff else jnp.asarray(B_PARAM, dtype)
         inside = r < cutoff
         r_safe = jnp.where(inside, r, jnp.ones_like(r))
@@ -68,7 +71,7 @@ class PseudoHS(Potential):
         """
         lam = self.lam
         dtype = jnp.asarray(r2).dtype
-        sigma = 0.5 * (jnp.asarray(sigma_i, dtype) + jnp.asarray(sigma_j, dtype))
+        sigma = lorentz_sigma(self.mixing, 1.0, sigma_i, sigma_j, dtype)
         cutoff = B_PARAM * sigma if self.sigma_scaled_cutoff else jnp.asarray(B_PARAM, dtype)
         inside = r2 < cutoff * cutoff
         r2_safe = jnp.where(inside, r2, jnp.ones_like(r2))

@@ -17,12 +17,11 @@ Deliberate fixes vs the reference (do-not-replicate bugs):
 
 from __future__ import annotations
 
-import math
 
 import jax.numpy as jnp
 from flax import struct
 
-from mdtpu.potentials.base import Potential
+from mdtpu.potentials.base import Potential, lj_tail_corrections, lorentz_sigma
 from mdtpu.potentials.lennard_jones import _sr_powers
 
 
@@ -66,8 +65,6 @@ class LennardJonesXPLOR(Potential):
         eps = jnp.asarray(self.epsilon, dtype)
         rc = jnp.asarray(self.r_cut, dtype)
         ron = jnp.asarray(self.r_on, dtype)
-        from mdtpu.potentials.base import lorentz_sigma
-
         sigma = lorentz_sigma(self.mixing, self.sigma, sigma_i, sigma_j,
                               dtype)
 
@@ -99,8 +96,6 @@ class LennardJonesXPLOR(Potential):
         eps = jnp.asarray(self.epsilon, dtype)
         rc = jnp.asarray(self.r_cut, dtype)
         ron = jnp.asarray(self.r_on, dtype)
-        from mdtpu.potentials.base import lorentz_sigma
-
         sigma = lorentz_sigma(self.mixing, self.sigma, sigma_i, sigma_j,
                               dtype)
 
@@ -130,23 +125,15 @@ class LennardJonesXPLOR(Potential):
                 jnp.where(inside, force_over_r, zero))
 
     # /root/reference/src/potentials.jl:256-271 (same closed forms as sharp-
-    # cutoff LJ, using r_cut).
+    # cutoff LJ, using r_cut) — one shared implementation, base.py.
     def energy_lrc(self, n_particles, volume):
         if not self.tail_correction:
             return jnp.asarray(0.0)
-        rho = n_particles / volume
-        src3 = (self.sigma / self.r_cut) ** 3
-        src9 = src3 ** 3
-        return (8.0 / 3.0) * math.pi * rho * n_particles * self.epsilon * self.sigma ** 3 * (
-            src9 / 3.0 - src3
-        )
+        return lj_tail_corrections(self.epsilon, self.sigma, self.r_cut,
+                                   n_particles, volume)[0]
 
     def pressure_lrc(self, n_particles, volume):
         if not self.tail_correction:
             return jnp.asarray(0.0)
-        rho = n_particles / volume
-        src3 = (self.sigma / self.r_cut) ** 3
-        src9 = src3 ** 3
-        return (16.0 / 3.0) * math.pi * rho ** 2 * self.epsilon * self.sigma ** 3 * (
-            2.0 / 3.0 * src9 - src3
-        )
+        return lj_tail_corrections(self.epsilon, self.sigma, self.r_cut,
+                                   n_particles, volume)[1]

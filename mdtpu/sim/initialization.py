@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdtpu.core.box import to_unitcell, wrap_positions
+from mdtpu.core.box import to_unitcell
 from mdtpu.core.types import Parameters, SimulationState
 
 
@@ -115,6 +115,13 @@ def initialize_state(
       B. ``from_file``: read an Extended-XYZ snapshot
       C. user ``unitcell``: random packed positions, unit diameters
       D. default cubic/square box with L = (N / rho)^(1/d): random packed
+
+    ``random_init`` is accepted for signature parity and deliberately
+    ignored: in the reference it only gates its own failure mode (with no
+    file and random_init=false the Julia code calls ``read_file("")`` and
+    errors, /root/reference/src/initialization.jl:77-79); here an empty
+    ``from_file`` simply selects the random-packing branch, so the flag has
+    nothing left to decide.
 
     Velocities are left at zero — the user assigns them via
     ``state.replace(velocities=initialize_velocities(...))``, matching the

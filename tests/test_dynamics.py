@@ -191,6 +191,26 @@ def test_fire_minimizes_dense_fluid():
     assert bool(converged) or f_rms < 1e-4
 
 
+def test_fire_grow_does_not_leak_mismatched_nbrs():
+    """When FIRE retries on engine capacity overflow it grows a PRIVATE
+    engine copy; the returned state must not carry that grown engine's
+    neighbor arrays (the caller's original engine would read the wrong
+    static capacity / mismatch shapes on the next compute)."""
+    from mdtpu.ops.cell_grid import CellGridEngine
+
+    state = make_fluid_state(n=96, rho=0.6, temp=1.0, dtype=jnp.float64,
+                             cutoff=1.5, seed=5)
+    pot = PseudoHS()
+    params = Parameters(density=0.6, n_particles=96, dt=0.001, potential=pot)
+    tight = CellGridEngine.create(pot, 1.5, 0.3,
+                                  np.asarray(state.unitcell), 96,
+                                  cell_capacity=1)  # guaranteed overflow
+    state2, energy, converged, _ = fire_minimize(state, params, tight,
+                                                 tol=1e-6, max_steps=500)
+    assert state2.nbrs is None
+    assert bool(jnp.isfinite(state2.positions).all())
+
+
 def test_pack_positions_removes_overlaps():
     key = jax.random.PRNGKey(7)
     n, d = 256, 3

@@ -116,3 +116,24 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         jax.random.key_data(restored.key), jax.random.key_data(state.key)
     )
+    # The key leaf keeps the TEMPLATE's representation: rewrapping a raw
+    # uint32 PRNGKey as a typed key<fry> changes the pytree signature and
+    # invalidates every program compiled against it (~60 s per recompile on
+    # the remote TPU).
+    assert restored.key.dtype == template.key.dtype
+    assert restored.key.shape == template.key.shape
+
+
+def test_checkpoint_preserves_typed_key_representation(tmp_path):
+    key = jax.random.key(3)   # new-style typed key
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (4, 3),
+                             dtype=jnp.float64) * 4.0
+    state = build_state_from_arrays(pos, jnp.ones(4), jnp.eye(3) * 4.0, key,
+                                    dtype=jnp.float64)
+    path = str(tmp_path / "ck_typed.npz")
+    save_checkpoint(state, path)
+    restored = load_checkpoint(path, state)
+    assert restored.key.dtype == state.key.dtype
+    assert restored.key.shape == state.key.shape
+    np.testing.assert_array_equal(jax.random.key_data(restored.key),
+                                  jax.random.key_data(state.key))
