@@ -48,6 +48,11 @@ def _system(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32):
     return state, params, pot
 
 
+class BenchOverflow(RuntimeError):
+    """Engine capacity overflowed during the timed run: the rate would be
+    measured on a truncated system. Callers grow the engine and retry."""
+
+
 def _time_advance(advance, state, warm=400, steps=300, reps=3):
     # Full melt (rebin frequency in the melting transient is much higher
     # than steady state) + a discarded first timed call (stray lazy
@@ -64,10 +69,22 @@ def _time_advance(advance, state, warm=400, steps=300, reps=3):
         best = min(best, time.perf_counter() - t0)
     assert bool(jnp.isfinite(state.temperature))
     if state.nbrs is not None and hasattr(state.nbrs, "overflow"):
-        assert not bool(jnp.asarray(state.nbrs.overflow).max()), \
-            "capacity overflow: rate measured on a truncated system"
-
+        if bool(jnp.asarray(state.nbrs.overflow).max()):
+            raise BenchOverflow
     return steps / best
+
+
+def _with_capacity_retries(build, eng, retries=4):
+    """Build + time an engine variant, growing capacity on overflow (the
+    melting transient can overflow a borderline capacity estimate —
+    especially the deliberately-bad cutoff-cell geometry)."""
+    for _ in range(retries):
+        advance, st = build(eng)
+        try:
+            return _time_advance(advance, st), eng
+        except BenchOverflow:
+            eng = eng.with_grown_capacity()
+    raise RuntimeError("engine capacity still overflowing after retries")
 
 
 def bench_halo(engine_kind="tuned"):
@@ -87,17 +104,39 @@ def bench_halo(engine_kind="tuned"):
         eng = HaloCellGridEngine.create(pot, 2.5, 0.3, cell_np, n,
                                         n_shards=1)
     mesh = make_mesh(1)
-    padded, ovf = reshard(pad_state(state, eng, margin=0.1), eng)
-    assert not bool(ovf)
-    sh = allocate_sharded(shard_state(padded, mesh), eng, mesh)
-    step = make_shard_map_step(params, NVT(1.0, 0.4), eng, mesh,
-                               state_cutoff=2.5)
+    # The row-layout engine's contract is DRIVER-CADENCE resharding
+    # (mdtpu/parallel/driver.py reshard_every): between reshards its
+    # staleness flag latches once particles drift past skin/2, so the
+    # timed loop must pay the periodic host reshard exactly like the
+    # driver does. 25 steps is a comfortably safe cadence at this dt.
+    RESHARD_EVERY = 25
 
-    @jax.jit
-    def advance(s, k):
-        return jax.lax.fori_loop(0, k, lambda i, x: step(x), s)
+    def build(eng):
+        padded, ovf = reshard(pad_state(state, eng, margin=0.1), eng)
+        assert not bool(ovf)
+        sh0 = allocate_sharded(shard_state(padded, mesh), eng, mesh)
+        step = make_shard_map_step(params, NVT(1.0, 0.4), eng, mesh,
+                                   state_cutoff=2.5)
 
-    rate = _time_advance(advance, sh)
+        @jax.jit
+        def chunk(s, k):
+            return jax.lax.fori_loop(0, k, lambda i, x: step(x), s)
+
+        def advance(s, k):
+            done = 0
+            while done < k:
+                r = min(RESHARD_EVERY, k - done)
+                s = chunk(s, r)
+                done += r
+                s2, ovf = reshard(s, eng)
+                if bool(ovf):
+                    raise BenchOverflow
+                s = allocate_sharded(shard_state(s2, mesh), eng, mesh)
+            return s
+
+        return advance, sh0
+
+    rate, eng = _with_capacity_retries(build, eng)
     return rate, eng.grid, eng.cell_capacity
 
 
@@ -116,9 +155,13 @@ def bench_halo_slot():
     eng = HaloSlotEngine.create_tuned(pot, 2.5, np.asarray(state.unitcell),
                                       state.n_particles, n_shards=1)
     mesh = make_mesh(1)
-    sh = build_sharded_slot_state(state, eng, mesh)
-    advance = make_sharded_slot_advance(params, NVT(1.0, 0.4), eng, mesh, sh)
-    rate = _time_advance(advance, sh)
+
+    def build(eng):
+        sh = build_sharded_slot_state(state, eng, mesh)
+        return make_sharded_slot_advance(params, NVT(1.0, 0.4), eng, mesh,
+                                         sh), sh
+
+    rate, eng = _with_capacity_retries(build, eng)
     return rate, eng.grid, eng.cell_capacity
 
 
@@ -130,16 +173,20 @@ def bench_particle_order():
     state, params, pot = _system()
     eng = CellGridEngine.create_tuned(pot, 2.5, np.asarray(state.unitcell),
                                       state.n_particles)
-    e, w, f, nbrs = engine_forces(eng, state.positions, state.diameters,
-                                  state.unitcell, state.unitcell_inv, None)
-    state = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
-    step = make_step(params, NVT(1.0, 0.4), eng)
+    def build(eng):
+        e, w, f, nbrs = engine_forces(eng, state.positions, state.diameters,
+                                      state.unitcell, state.unitcell_inv,
+                                      None)
+        st = state.replace(nbrs=nbrs, forces=f, energy=e, virial=w)
+        step = make_step(params, NVT(1.0, 0.4), eng)
 
-    @jax.jit
-    def advance(s, k):
-        return jax.lax.fori_loop(0, k, lambda i, x: step(x), s)
+        @jax.jit
+        def advance(s, k):
+            return jax.lax.fori_loop(0, k, lambda i, x: step(x), s)
 
-    return _time_advance(advance, state)
+        return advance, st
+
+    return _with_capacity_retries(build, eng)[0]
 
 
 def bench_slot():
@@ -151,9 +198,12 @@ def bench_slot():
     state, params, pot = _system()
     eng = CellGridEngine.create(pot, 2.5, 0.6, np.asarray(state.unitcell),
                                 state.n_particles, cell_capacity=36)
-    state = slot_forces(slotify(state, eng), eng)
-    advance = jax.jit(make_slot_advance(params, NVT(1.0, 0.4), eng))
-    return _time_advance(advance, state)
+
+    def build(eng):
+        st = slot_forces(slotify(state, eng), eng)
+        return jax.jit(make_slot_advance(params, NVT(1.0, 0.4), eng)), st
+
+    return _with_capacity_retries(build, eng)[0]
 
 
 if __name__ == "__main__":
