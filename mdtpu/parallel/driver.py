@@ -81,11 +81,11 @@ def run_simulation_sharded(
     pair sweep for f32 NVE runs on the slot engine."""
     from mdtpu.parallel.halo_slot import HaloSlotEngine
 
-    if state.dimension != 3:
+    if state.dimension == 2 and engine is not None and \
+            not isinstance(engine, HaloSlotEngine):
         raise NotImplementedError(
-            "run_simulation_sharded is 3D-only (x-slab domain decomposition "
-            "of the cell grid); 2D systems at any size the slot layout "
-            "supports fit one chip — use run_simulation")
+            "the row-layout HaloCellGridEngine is 3D-only; 2D sharding "
+            "runs on the slot-layout HaloSlotEngine (the default)")
     if mesh is None:
         mesh = make_mesh(n_devices)
     n = state.n_particles

@@ -18,7 +18,10 @@ Per step (inside ``shard_map``, driven by the ordinary
     refresh scatter), ``ppermute``s ONE z-windowed boundary plane
     (ny, nz, 3C) over ICI for the +x half stencil, sends the ghost-plane
     reaction forces back, and ``psum``s energy/virial — O(surface)
-    communication, same as the row engine;
+    communication, same as the row engine. Dimension-generic: a 2D grid
+    (nx, ny) shards over the same x-slabs with y-windows (ny, 3C) and the
+    stencil reduced to the single +x column, mirroring the single-chip
+    ``_ywindow_sweep``;
   * integration is dense local VPU work (slot layout);
   * the skin rebuild is a LOCAL packed re-sort per shard
     (:func:`~mdtpu.integrate.slot_step.packed_resort` with a per-device
@@ -93,21 +96,24 @@ class HaloSlotEngine:
                      max_sigma=1.0, diameters=None):
         """Padded-lane-optimal geometry (same cost model as the single-chip
         ``CellGridEngine.create_tuned``; nx constrained to a multiple of
-        ``n_shards``) — delegates to the row engine's tuner."""
+        ``n_shards``). Dimension-generic: 2D boxes shard over x-slabs with
+        y-windows exactly as 3D shards with z-windows (the reference is
+        dimension-generic throughout, /root/reference/src/types.jl:15-32)."""
         from mdtpu.ops.cell_grid import uniform_sigma_of
-        from mdtpu.parallel.halo import HaloCellGridEngine
+        from mdtpu.parallel.halo import tuned_sharded_geometry
+        from mdtpu.potentials.base import check_engine_cutoff
 
         if diameters is not None:
             max_sigma = max(max_sigma, float(np.max(np.asarray(diameters))))
-        row = HaloCellGridEngine.create_tuned(
-            potential, cutoff, unitcell, n_particles, n_shards,
-            min_skin=min_skin, occ_sigma=occ_sigma, axis_name=axis_name,
-            max_sigma=max_sigma)
+        check_engine_cutoff(potential, cutoff, max_sigma)
+        grid, cap, skin = tuned_sharded_geometry(
+            cutoff, unitcell, n_particles, n_shards,
+            min_skin=min_skin, occ_sigma=occ_sigma)
         # Migration buffer: boundary-layer population ~ n_loc * skin/slab;
         # 25% of a slab is a generous fixed bound, lane-aligned.
         K = max(128, -(-int(n_particles / n_shards * 0.25) // 128) * 128)
-        return cls(potential=potential, cutoff=row.cutoff, skin=row.skin,
-                   grid=row.grid, cell_capacity=row.cell_capacity,
+        return cls(potential=potential, cutoff=float(cutoff),
+                   skin=float(skin), grid=grid, cell_capacity=cap,
                    n_shards=n_shards, axis_name=axis_name,
                    migration_capacity=K,
                    uniform_sigma=uniform_sigma_of(diameters))
@@ -125,7 +131,7 @@ class HaloSlotEngine:
 
     @property
     def local_slots(self) -> int:
-        return self.mx * self.grid[1] * self.grid[2] * self.cell_capacity
+        return self.mx * int(np.prod(self.grid[1:])) * self.cell_capacity
 
     def as_single_chip(self) -> CellGridEngine:
         """The single-chip engine with the same GLOBAL geometry: used for
@@ -162,10 +168,10 @@ class HaloSlotEngine:
 
         dim = state.positions.shape[0]
         dtype = state.positions.dtype
-        nx, ny, nz = self.grid
+        nx = self.grid[0]
         mx = self.mx
         cap = self.cell_capacity
-        n_cells_loc = mx * ny * nz
+        n_cells_loc = mx * int(np.prod(self.grid[1:]))
         n_slots = self.local_slots
         n_sh = self.n_shards
         # top_k requires k <= operand size; a migration buffer bigger than
@@ -246,12 +252,13 @@ class HaloSlotEngine:
         state = state.replace(positions=positions, pos_comp=pos_comp,
                               images=images)
 
-        cy = jnp.clip((frac_in[1] * ny).astype(jnp.int32), 0, ny - 1)
-        cz = jnp.clip((frac_in[2] * nz).astype(jnp.int32), 0, nz - 1)
         # Leftover escapes (migration_capacity overflow) clamp to the edge
         # plane — exact only transiently; the lost flag forces recovery.
-        ix_clamped = jnp.clip(ix, 0, mx - 1)
-        cid = (ix_clamped * ny + cy) * nz + cz
+        cid = jnp.clip(ix, 0, mx - 1)
+        for k in range(1, dim):
+            gk = self.grid[k]
+            ck = jnp.clip((frac_in[k] * gk).astype(jnp.int32), 0, gk - 1)
+            cid = cid * gk + ck
         cid = jnp.where(occ, cid, n_cells_loc)
 
         # --- fold + bin the received rows --------------------------------
@@ -272,10 +279,11 @@ class HaloSlotEngine:
             e_pos, extra[dim:3 * dim], e_comp, extra[4 * dim:5 * dim],
             e_img, extra[6 * dim:]], axis=0)
         e_gx = jnp.clip((e_frac_in[0] * nx).astype(jnp.int32), 0, nx - 1)
-        e_ix = jnp.clip(e_gx - p * mx, 0, mx - 1)
-        e_cy = jnp.clip((e_frac_in[1] * ny).astype(jnp.int32), 0, ny - 1)
-        e_cz = jnp.clip((e_frac_in[2] * nz).astype(jnp.int32), 0, nz - 1)
-        extra_cid = (e_ix * ny + e_cy) * nz + e_cz
+        extra_cid = jnp.clip(e_gx - p * mx, 0, mx - 1)
+        for k in range(1, dim):
+            gk = self.grid[k]
+            e_ck = jnp.clip((e_frac_in[k] * gk).astype(jnp.int32), 0, gk - 1)
+            extra_cid = extra_cid * gk + e_ck
         extra_cid = jnp.where(extra_occ, extra_cid, n_cells_loc)
 
         # Per-device far-pad ramp INDEX offset: vacant slots of different
@@ -305,15 +313,27 @@ class HaloSlotEngine:
         dim = positions.shape[0]
         dtype = positions.dtype
         cap = self.cell_capacity
-        nx, ny, nz = self.grid
         mx = self.mx
-        n_cells_loc = mx * ny * nz
+        if dim == 2:
+            # 2D rides the 3D machinery with a size-1 middle axis: the
+            # window (last) axis folds y exactly as it folds z in 3D, and
+            # the in-plane Newton half stencil reduces to the single +x
+            # column (the 9-cell stencil = self + y-window + x+1 column;
+            # same collapse as the single-chip _ywindow_sweep).
+            nmid, nwin = 1, self.grid[1]
+            wcol = 1    # cell column supplying the window-axis ghost shift
+            stencil = ((1, 0),)
+        else:
+            nmid, nwin = self.grid[1], self.grid[2]
+            wcol = 2
+            stencil = ((0, 1), (1, -1), (1, 0), (1, 1))
+        n_cells_loc = mx * nmid * nwin
         axis = self.axis_name
         n_sh = self.n_shards
         p = jax.lax.axis_index(axis)
         hilo = pos_lo is not None
 
-        shape = (mx, ny, nz, cap)
+        shape = (mx, nmid, nwin, cap)
         grids = [positions[k].reshape(shape) for k in range(dim)]
         # Uniform sigma: scalar constant — no diameter windows, and the
         # diameter plane drops out of the halo ppermute payload below.
@@ -323,13 +343,14 @@ class HaloSlotEngine:
 
         if hilo:
             grids_lo = [pos_lo[k].reshape(shape) for k in range(dim)]
-            pairs = [ghost_z_window_hilo(grids[k], grids_lo[k], cell[k, 2])
-                     for k in range(dim)]
+            pairs = [ghost_z_window_hilo(grids[k], grids_lo[k],
+                                         cell[k, wcol]) for k in range(dim)]
             win = [q[0] for q in pairs]
             win_lo = [q[1] for q in pairs]
             own_lo = [g.reshape(n_cells_loc, cap, 1) for g in grids_lo]
         else:
-            win = [ghost_z_window(grids[k], cell[k, 2]) for k in range(dim)]
+            win = [ghost_z_window(grids[k], cell[k, wcol])
+                   for k in range(dim)]
             win_lo = own_lo = None
         win_diam = ghost_z_window(diam)  # scalar passthrough when uniform
 
@@ -387,12 +408,14 @@ class HaloSlotEngine:
             [jnp.sum(f_over_r * d_comps[k], axis=2) for k in range(dim)])
 
         def unwindow(reaction):
-            r = reaction.reshape(mx, ny, nz, 3, cap)
+            r = reaction.reshape(mx, nmid, nwin, 3, cap)
             return (jnp.roll(r[..., 0, :], -1, axis=2) + r[..., 1, :]
                     + jnp.roll(r[..., 2, :], 1, axis=2))
 
         def yshift(w, oy, gy):
-            # Window arrays here are (mx, ny, nz, 3C): y is axis 1.
+            # Window arrays here are (mx, nmid, nwin, 3C): the in-plane
+            # shift axis is 1 (a no-op in 2D, where every stencil entry
+            # has oy = 0).
             return ghost_shift(w, oy, gy, axis=1)
 
         def yshift_hilo(w, w_lo, oy, gy):
@@ -400,10 +423,10 @@ class HaloSlotEngine:
 
         # Reaction accumulator over mx + 1 planes (the +1 receives the
         # reactions destined for the ghost plane / right neighbor).
-        react_ext = [jnp.zeros((mx + 1, ny, nz, cap), dtype)
+        react_ext = [jnp.zeros((mx + 1, nmid, nwin, cap), dtype)
                      for _ in range(dim)]
 
-        for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
+        for ox, oy in stencil:
             if hilo:
                 src = [(ext[k][ox:ox + mx], ext_lo[k][ox:ox + mx])
                        if ox else (win[k], win_lo[k]) for k in range(dim)]
@@ -439,7 +462,7 @@ class HaloSlotEngine:
         forces = []
         for k in range(dim):
             fk = f_own[k] + react_ext[k][:mx].reshape(n_cells_loc, cap)
-            fk = fk.reshape(mx, ny, nz, cap).at[0].add(back[k])
+            fk = fk.reshape(mx, nmid, nwin, cap).at[0].add(back[k])
             forces.append(fk.reshape(-1))
         if observables:
             energy, virial = jax.lax.psum((energy, virial), axis)

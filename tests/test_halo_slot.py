@@ -249,3 +249,147 @@ def test_halo_slot_hilo_advance_matches_single_chip(mesh):
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(float(sh.energy), float(ref.energy),
                                rtol=1e-4)
+
+
+# ----------------------------------------------------------------------- 2D
+# The slot halo engine is dimension-generic (x-slab decomposition with
+# y-windows; the reference is dimension-generic throughout,
+# /root/reference/src/types.jl:15-32).
+
+
+def _system2d(n=1200, rho=0.4, temp=0.75, dtype=jnp.float64):
+    state = make_fluid_state(n=n, rho=rho, d=2, temp=temp, dtype=dtype,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    return state, params, pot
+
+
+@pytest.mark.parametrize("ens_name", ["nve", "nvt"])
+def test_halo_slot_2d_advance_matches_single_chip(mesh, ens_name):
+    """2D sharded slot advance == single-chip 2D slot advance (same global
+    geometry) through rebins, to reduction-order tolerance."""
+    state, params, pot = _system2d()
+    ens = NVE() if ens_name == "nve" else NVT(0.75, 0.2)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    assert len(eng.grid) == 2 and eng.grid[0] % 8 == 0
+    single = eng.as_single_chip()
+
+    ref = slot_forces(slotify(state, single), single)
+    ref = jax.jit(make_slot_advance(params, ens, single))(ref, 40)
+    ref_out = unslotify_state(ref)
+
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, ens, eng, mesh, sh)
+    sh = adv(sh, 40)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    out = unshard_slot_state(sh)
+
+    assert int(sh.step) == 40
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(sh.temperature),
+                               float(ref.temperature), rtol=1e-10)
+
+
+def test_halo_slot_2d_migration_stays_exact(mesh):
+    """A 2D walker crossing several x-slab boundaries keeps the sharded
+    trajectory exact vs the single-chip loop (on-device ppermute
+    migration at every rebin, no flag, no host reshard)."""
+    state, params, pot = _system2d()
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    single = eng.as_single_chip()
+    L = float(state.unitcell[0, 0])
+    slabw = L / 8
+
+    # The 2D box is much wider than the 3D one at equal N, so collisions
+    # stop a full-slab traverse; launch the particle sitting closest below
+    # a slab boundary instead and require an actual boundary crossing.
+    i0 = int(np.argmax(np.asarray(state.positions)[:, 0] % slabw))
+    x0 = float(state.positions[i0, 0])
+    v = np.array(state.velocities)
+    v[i0] = [2.2 * slabw / (200 * 0.002), 0.0]
+    state = state.replace(velocities=jnp.asarray(v))
+
+    ref = slot_forces(slotify(state, single), single)
+    ref = jax.jit(make_slot_advance(params, NVE(), single))(ref, 200)
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, NVE(), eng, mesh, sh)
+    sh = adv(sh, 200)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    ref_out = unslotify_state(ref)
+    out = unshard_slot_state(sh)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=1e-8, atol=1e-8)
+    xf = (np.asarray(out.images)[i0, 0] * L
+          + np.asarray(out.positions)[i0, 0])
+    assert np.floor(xf / slabw) != np.floor(x0 / slabw)
+
+
+def test_halo_slot_2d_hilo_advance_matches_single_chip(mesh):
+    """The f32x2 hi/lo sweep through the 2D sharded engine (two_sum ghost
+    shifts across the ppermute seam) matches the single-chip 2D hilo
+    advance to f32 reduction-order tolerance."""
+    state, params, pot = _system2d()
+    state = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if hasattr(x, "dtype")
+        and x.dtype == jnp.float64 else x, state)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8)
+    single = eng.as_single_chip()
+
+    ref = slot_forces(slotify(state, single), single)
+    ref = jax.jit(make_slot_advance(params, NVE(), single, hilo=True))(ref, 40)
+    ref_out = unslotify_state(ref)
+
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, NVE(), eng, mesh, sh, hilo=True)
+    sh = adv(sh, 40)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    out = unshard_slot_state(sh)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-4)
+
+
+def test_run_simulation_sharded_2d_output_parity(mesh, tmp_path):
+    """The sharded driver accepts 2D states (default slot engine): thermo
+    rows and ids-ordered trajectory frames match the single-device
+    driver."""
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.sim.driver import run_simulation
+    from tests.test_parallel import _read_lammps_frames
+
+    state, params, pot = _system2d()
+    cell_np = np.asarray(state.unitcell)
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, cell_np, state.n_particles,
+                                      n_shards=8)
+    ref_final = run_simulation(state, params, NVE(), 40, 20,
+                               str(tmp_path / "ref"),
+                               engine=eng.as_single_chip())
+    final = run_simulation_sharded(state, params, NVE(), 40, 20,
+                                   str(tmp_path / "sh"), mesh=mesh,
+                                   engine=eng)
+    ref_rows = np.loadtxt(tmp_path / "ref" / "thermo.txt")
+    sh_rows = np.loadtxt(tmp_path / "sh" / "thermo.txt")
+    np.testing.assert_allclose(sh_rows, ref_rows, rtol=1e-7, atol=1e-7)
+    ref_frames = _read_lammps_frames(tmp_path / "ref" / "trajectory.xyz")
+    sh_frames = _read_lammps_frames(tmp_path / "sh" / "trajectory.xyz")
+    assert [s for s, _ in sh_frames] == [s for s, _ in ref_frames]
+    for (_, a), (_, b) in zip(sh_frames, ref_frames):
+        np.testing.assert_array_equal(a[:, 0], b[:, 0])
+        np.testing.assert_allclose(a[:, 1:], b[:, 1:], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final.positions),
+                               np.asarray(ref_final.positions),
+                               rtol=1e-8, atol=1e-8)
