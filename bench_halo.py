@@ -206,9 +206,57 @@ def bench_slot():
     return _with_capacity_retries(build, eng)[0]
 
 
+def bench_halo_slot_2d(n=65536):
+    """2D sharded per-chip cost (1-device mesh) vs the single-chip 2D
+    y-window slot loop with the SAME geometry — quantifies what the
+    dimension-generic halo path adds in 2D (bench_2d's polydisperse
+    pseudo-HS config)."""
+    from bench_2d import build as build_2d
+    from mdtpu.core.types import NVT
+    from mdtpu.integrate.slot_step import (make_slot_advance, slot_forces,
+                                           slotify)
+    from mdtpu.parallel.halo_slot import (HaloSlotEngine,
+                                          build_sharded_slot_state,
+                                          make_sharded_slot_advance)
+    from mdtpu.parallel.mesh import make_mesh
+
+    state, params, pot, cutoff = build_2d(n=n)
+    eng = HaloSlotEngine.create_tuned(
+        pot, cutoff, np.asarray(state.unitcell), n, n_shards=1,
+        diameters=np.asarray(state.diameters))
+    mesh = make_mesh(1)
+
+    def build_sharded(eng):
+        sh = build_sharded_slot_state(state, eng, mesh)
+        return make_sharded_slot_advance(params, NVT(1.0, 0.4), eng, mesh,
+                                         sh), sh
+
+    halo_rate, eng = _with_capacity_retries(build_sharded, eng)
+    single = eng.as_single_chip()
+
+    def build_single(single):
+        st = slot_forces(slotify(state, single), single)
+        return jax.jit(make_slot_advance(params, NVT(1.0, 0.4), single)), st
+
+    single_rate, _ = _with_capacity_retries(build_single, single)
+    return halo_rate, single_rate, eng.grid, eng.cell_capacity
+
+
 if __name__ == "__main__":
     import sys
 
+    if "--2d" in sys.argv:
+        hs, single, grid, cap = bench_halo_slot_2d()
+        print(json.dumps({
+            "metric": "2D halo-SLOT engine per-chip steps/s, 1-device mesh, "
+                      "N=65536 polydisperse pseudo-HS NVT f32",
+            "halo_slot_2d": round(hs, 1),
+            "halo_slot_geometry": [list(grid), cap],
+            "slot_fast_path_2d": round(single, 1),
+            "halo_slot_vs_slot_overhead_pct":
+                round((single / hs - 1) * 100, 1),
+        }))
+        sys.exit(0)
     if "--slot-only" in sys.argv:
         hs, grid_hs, cap_hs = bench_halo_slot()
         slot = bench_slot()
