@@ -19,14 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100):
+def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100,
+         f64=False):
     from mdtpu.core.types import NVT, Parameters
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.potentials.lennard_jones import LennardJones
     from mdtpu.sim.driver import run_simulation
     from mdtpu.sim.initialization import lattice_fluid_state
 
-    dtype = jnp.float32
+    dtype = jnp.float64 if f64 else jnp.float32
     state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=2.5,
                                 jitter=0.01)
     cell = state.unitcell
@@ -47,9 +48,11 @@ def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100):
         # contract); the thermo-dense/traj-sparse case shows the lean
         # scalar-only event pulls (thermo needs 5 scalars; the full-row
         # pull is ~240 ms on the remote tunnel).
-        for freq, tfreq, n_steps in ((frequency, None, steps),
-                                     (frequency, 1000, steps),
-                                     (1000, None, 10_000)):
+        cases = ((frequency, None, steps),) if f64 else (
+            (frequency, None, steps),
+            (frequency, 1000, steps),
+            (1000, None, 10_000))
+        for freq, tfreq, n_steps in cases:
             # Warm this cadence's batch-bucket programs (a new bucket size
             # compiles a new scan program, ~60-90 s on the remote compile
             # service the first time; cached persistently after).
@@ -62,7 +65,8 @@ def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100):
             elapsed = time.perf_counter() - t0
             rate = n_steps / elapsed
             print(json.dumps({
-                "metric": ("driver steps/sec, N=65536 LJ NVT through "
+                "metric": (f"driver steps/sec, N={n} LJ NVT "
+                           f"({'f64' if f64 else 'f32'}) through "
                            f"run_simulation (thermo every {freq}, "
                            f"trajectory every {tfreq or freq} steps, "
                            "async writer)"),
@@ -76,4 +80,9 @@ def main(n=65536, rho=0.8, temp=1.0, steps=3000, frequency=100):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    # --f64: the coupled-cadence case in f64 — measures the on-device f32
+    # cast of output rows (round-4: f64 rows used to ship 2x the bytes
+    # their %.6f text output can express).
+    main(f64="--f64" in sys.argv)

@@ -89,10 +89,12 @@ def _with_capacity_retries(build, eng, retries=4):
 
 def bench_halo(engine_kind="tuned"):
     from mdtpu.core.types import NVT
-    from mdtpu.parallel.halo import (HaloCellGridEngine, allocate_sharded,
-                                     pad_state, reshard)
+    from mdtpu.parallel.experimental.halo import (HaloCellGridEngine,
+                                                  allocate_sharded,
+                                                  pad_state, reshard)
+    from mdtpu.parallel.experimental.sharded import (make_shard_map_step,
+                                                     shard_state)
     from mdtpu.parallel.mesh import make_mesh
-    from mdtpu.parallel.sharded import make_shard_map_step, shard_state
 
     state, params, pot = _system()
     n = state.n_particles
@@ -140,7 +142,7 @@ def bench_halo(engine_kind="tuned"):
     return rate, eng.grid, eng.cell_capacity
 
 
-def bench_halo_slot():
+def bench_halo_slot(n=65536, warm=400, steps=300):
     """The slot-layout sharded engine (mdtpu.parallel.halo_slot): per-chip
     cost should sit within ~15% of the single-chip slot loop — the ppermute
     self-copy plus the unconditional per-rebin migration exchange are the
@@ -151,7 +153,7 @@ def bench_halo_slot():
                                           make_sharded_slot_advance)
     from mdtpu.parallel.mesh import make_mesh
 
-    state, params, pot = _system()
+    state, params, pot = _system(n=n)
     eng = HaloSlotEngine.create_tuned(pot, 2.5, np.asarray(state.unitcell),
                                       state.n_particles, n_shards=1)
     mesh = make_mesh(1)
@@ -161,8 +163,63 @@ def bench_halo_slot():
         return make_sharded_slot_advance(params, NVT(1.0, 0.4), eng, mesh,
                                          sh), sh
 
-    rate, eng = _with_capacity_retries(build, eng)
-    return rate, eng.grid, eng.cell_capacity
+    def time_eng(eng):
+        advance, st = build(eng)
+        return _time_advance(advance, st, warm=warm, steps=steps)
+
+    for _ in range(4):
+        try:
+            return time_eng(eng), eng
+        except BenchOverflow:
+            eng = eng.with_grown_capacity()
+    raise RuntimeError("engine capacity still overflowing after retries")
+
+
+def bench_halo_slot_large():
+    """Per-chip slot-halo overhead at the sizes that MOTIVATE multi-chip
+    (VERDICT round-3 item 5): N = 262k and 1M on a 1-device mesh, sharded
+    vs single-chip slot loop with the SAME tuned geometry (both auto-switch
+    to the plane scan past the ~120 MB dense-tile cliff). Also reports the
+    halo plane payload bytes/step for the projected weak-scaling table."""
+    from mdtpu.core.types import NVT
+    from mdtpu.integrate.slot_step import (make_slot_advance, slot_forces,
+                                           slotify)
+
+    out = {}
+    for n in (262144, 1048576):
+        warm = 300 if n <= 300000 else 150
+        steps = 200 if n <= 300000 else 100
+        halo_rate, eng = bench_halo_slot(n=n, warm=warm, steps=steps)
+        single = eng.as_single_chip()
+        state, params, pot = _system(n=n)
+
+        def build_single(single):
+            st = slot_forces(slotify(state, single), single)
+            return jax.jit(make_slot_advance(params, NVT(1.0, 0.4),
+                                             single)), st
+
+        for _ in range(4):
+            try:
+                advance, st = build_single(single)
+                single_rate = _time_advance(advance, st, warm=warm,
+                                            steps=steps)
+                break
+            except BenchOverflow:
+                single = single.with_grown_capacity()
+        # Halo window plane payload per step (f32): d components x
+        # (nmid x nwin x 3C) forward + d x (nmid x nwin x C) reactions back.
+        cap = eng.cell_capacity
+        plane = int(np.prod(eng.grid[1:]))
+        payload = 3 * plane * (3 * cap + cap) * 4
+        out[n] = {
+            "halo_slot": round(halo_rate, 1),
+            "single_chip_slot": round(single_rate, 1),
+            "overhead_pct": round((single_rate / halo_rate - 1) * 100, 1),
+            "geometry": [list(eng.grid), cap],
+            "plane_scan": bool(eng.plane_scan),
+            "halo_plane_payload_bytes": payload,
+        }
+    return out
 
 
 def bench_particle_order():
@@ -246,10 +303,11 @@ if __name__ == "__main__":
     import sys
 
     if "--2d" in sys.argv:
-        hs, single, grid, cap = bench_halo_slot_2d()
+        n = 65536
+        hs, single, grid, cap = bench_halo_slot_2d(n=n)
         print(json.dumps({
-            "metric": "2D halo-SLOT engine per-chip steps/s, 1-device mesh, "
-                      "N=65536 polydisperse pseudo-HS NVT f32",
+            "metric": f"2D halo-SLOT engine per-chip steps/s, 1-device "
+                      f"mesh, N={n} polydisperse pseudo-HS NVT f32",
             "halo_slot_2d": round(hs, 1),
             "halo_slot_geometry": [list(grid), cap],
             "slot_fast_path_2d": round(single, 1),
@@ -257,8 +315,17 @@ if __name__ == "__main__":
                 round((single / hs - 1) * 100, 1),
         }))
         sys.exit(0)
+    if "--large" in sys.argv:
+        out = bench_halo_slot_large()
+        print(json.dumps({
+            "metric": "halo-SLOT per-chip steps/s at large N, 1-device "
+                      "mesh, LJ NVT f32 (plane-scan regime)",
+            **{f"N={n}": v for n, v in out.items()},
+        }))
+        sys.exit(0)
     if "--slot-only" in sys.argv:
-        hs, grid_hs, cap_hs = bench_halo_slot()
+        hs, eng_hs = bench_halo_slot()
+        grid_hs, cap_hs = eng_hs.grid, eng_hs.cell_capacity
         slot = bench_slot()
         print(json.dumps({
             "metric": "halo-SLOT engine per-chip steps/s, 1-device mesh, "
@@ -271,7 +338,8 @@ if __name__ == "__main__":
         sys.exit(0)
     halo_old, grid_old, cap_old = bench_halo("cutoff")
     halo_tuned, grid_tuned, cap_tuned = bench_halo("tuned")
-    hs, grid_hs, cap_hs = bench_halo_slot()
+    hs, eng_hs = bench_halo_slot()
+    grid_hs, cap_hs = eng_hs.grid, eng_hs.cell_capacity
     particle = bench_particle_order()
     slot = bench_slot()
     print(json.dumps({

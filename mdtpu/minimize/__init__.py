@@ -4,7 +4,8 @@ from __future__ import annotations
 
 import os
 
-from mdtpu.minimize.fire import fire_minimize
+from mdtpu.minimize.fire import (fire_minimize, fire_minimize_sharded,
+                                 fire_minimize_slots)
 
 
 def minimize(state, params, pathname, dimension=None, *, engine=None,
@@ -42,4 +43,5 @@ def minimize(state, params, pathname, dimension=None, *, engine=None,
     return state, energy, converged, n_steps
 
 
-__all__ = ["minimize", "fire_minimize"]
+__all__ = ["minimize", "fire_minimize", "fire_minimize_sharded",
+           "fire_minimize_slots"]

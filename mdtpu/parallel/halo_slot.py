@@ -1,6 +1,7 @@
 """Slot-space sharded halo engine — the multi-chip production hot loop.
 
-Round 2's :class:`~mdtpu.parallel.halo.HaloCellGridEngine` shards the cell
+Round 2's row-layout halo engine (now
+:class:`mdtpu.parallel.experimental.halo.HaloCellGridEngine`) shards the cell
 grid but keeps the STATE in particle rows: every step re-scatters positions
 into the slot grid and gathers forces back — the two irregular memory ops
 the single-chip slot loop was built to eliminate (they cost more than the
@@ -85,6 +86,16 @@ class HaloSlotEngine:
     # diameter windows AND drops the diameter plane from the halo
     # ppermute payload.
     uniform_sigma: float = struct.field(pytree_node=False, default=0.0)
+    # Memory-bounded sweep: lax.scan over the LOCAL x-planes instead of one
+    # dense (n_cells_loc, C, 3C) computation — same auto-switch as the
+    # single-chip ``CellGridEngine.plane_scan`` (dense pair tiles go
+    # HBM-bound past ~120 MB and exhaust HBM past ~400 MB), applied to the
+    # PER-SHARD tile. The x-slab sharding and the x-plane scan decompose
+    # over the same axis: the scan carry's +x reaction plane after the last
+    # local plane IS the ghost-plane reaction payload, so the halo
+    # choreography (one window ppermute in, one reaction ppermute back) is
+    # identical to the dense path. 3D only (2D y-window planes are small).
+    plane_scan: bool = struct.field(pytree_node=False, default=False)
     # The rebin contains ppermutes, so it must NEVER run under lax.cond
     # (collectives inside a cond branch are not SPMD-safe); the slot
     # choreography runs it unconditionally per outer (rebin) iteration.
@@ -100,7 +111,7 @@ class HaloSlotEngine:
         y-windows exactly as 3D shards with z-windows (the reference is
         dimension-generic throughout, /root/reference/src/types.jl:15-32)."""
         from mdtpu.ops.cell_grid import uniform_sigma_of
-        from mdtpu.parallel.halo import tuned_sharded_geometry
+        from mdtpu.parallel.geometry import tuned_sharded_geometry
         from mdtpu.potentials.base import check_engine_cutoff
 
         if diameters is not None:
@@ -112,10 +123,19 @@ class HaloSlotEngine:
         # Migration buffer: boundary-layer population ~ n_loc * skin/slab;
         # 25% of a slab is a generous fixed bound, lane-aligned.
         K = max(128, -(-int(n_particles / n_shards * 0.25) // 128) * 128)
+        # Per-SHARD dense pair tiles of (n_cells_loc, C, 3C): beyond ~120 MB
+        # the sweep goes HBM-bound and the x-plane scan wins (same measured
+        # threshold as CellGridEngine.create_tuned — the sharded regime of
+        # >=1M particles per shard sits far past it).
+        subl = -(-cap // 8) * 8
+        lanes = -(-(3 * cap) // 128) * 128
+        n_cells_loc = (grid[0] // n_shards) * int(np.prod(grid[1:]))
+        tile_bytes = n_cells_loc * subl * lanes * 4
         return cls(potential=potential, cutoff=float(cutoff),
                    skin=float(skin), grid=grid, cell_capacity=cap,
                    n_shards=n_shards, axis_name=axis_name,
                    migration_capacity=K,
+                   plane_scan=bool(len(grid) == 3 and tile_bytes > 1.2e8),
                    uniform_sigma=uniform_sigma_of(diameters))
 
     def with_grown_capacity(self):
@@ -141,7 +161,7 @@ class HaloSlotEngine:
         return CellGridEngine(
             potential=self.potential, cutoff=self.cutoff, skin=self.skin,
             grid=self.grid, cell_capacity=self.cell_capacity,
-            uniform_sigma=self.uniform_sigma)
+            plane_scan=self.plane_scan, uniform_sigma=self.uniform_sigma)
 
     # ------------------------------------------------------------ rebuild
     def slot_rebin(self, state: SimulationState) -> SimulationState:
@@ -388,9 +408,50 @@ class HaloSlotEngine:
             ext_lo = [jnp.concatenate([w, g], axis=0)
                       for w, g in zip(win_lo, ghosts_lo)]
 
+        if self.plane_scan and dim == 3:
+            energy, virial, f_grid, ghost_react = self._scan_sweep_local(
+                grids, grids_lo if hilo else None, ext,
+                ext_lo if hilo else None, diam, ext_diam, uni, cell,
+                observables)
+        else:
+            energy, virial, f_grid, ghost_react = self._dense_sweep_local(
+                grids, grids_lo if hilo else None, win, win_lo, ext,
+                ext_lo if hilo else None, diam, win_diam, ext_diam, uni,
+                cell, stencil, observables)
+
+        # Send the ghost-plane reactions back to the right neighbor (they
+        # own global plane (p+1)*mx) — one batched ppermute for all
+        # components; identical for the dense and scan sweeps.
+        bwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        back = jax.lax.ppermute(ghost_react, axis, bwd)
+        forces = [f_grid[k].at[0].add(back[k]).reshape(-1)
+                  for k in range(dim)]
+        if observables:
+            energy, virial = jax.lax.psum((energy, virial), axis)
+        return energy, virial, jnp.stack(forces), nbrs
+
+    def _dense_sweep_local(self, grids, grids_lo, win, win_lo, ext, ext_lo,
+                           diam, win_diam, ext_diam, uni, cell, stencil,
+                           observables):
+        """One dense windowed sweep over ALL local planes at once (the
+        original sharded sweep). Returns (energy, virial, f_grid
+        [per-component (mx, nmid, nwin, C) local forces, ghost reactions
+        NOT yet applied], ghost_react (d, nmid, nwin, C))."""
+        dim = len(grids)
+        dtype = grids[0].dtype
+        cap = self.cell_capacity
+        mx = self.mx
+        hilo = win_lo is not None
+        if dim == 2:
+            nmid, nwin = 1, self.grid[1]
+        else:
+            nmid, nwin = self.grid[1], self.grid[2]
+        n_cells_loc = mx * nmid * nwin
+
         own = [g.reshape(n_cells_loc, cap, 1) for g in grids]
-        own_diam3 = (diam if uni
-                     else diam.reshape(n_cells_loc, cap, 1))
+        own_lo = (None if not hilo else
+                  [g.reshape(n_cells_loc, cap, 1) for g in grids_lo])
+        own_diam3 = diam if uni else diam.reshape(n_cells_loc, cap, 1)
 
         pair_block = make_pair_block(self.potential, own, own_lo, own_diam3,
                                      self_pair_diag_bump(cap, dtype), cap,
@@ -453,20 +514,125 @@ class HaloSlotEngine:
                 react = jnp.roll(react, oy, axis=1)
                 react_ext[k] = react_ext[k].at[ox:ox + mx].add(react)
 
-        # Fold local reactions; send the ghost-plane reactions back to the
-        # right neighbor (they own global plane (p+1)*mx) — one batched
-        # ppermute for all components.
-        bwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
-        back = jax.lax.ppermute(
-            jnp.stack([react_ext[k][mx] for k in range(dim)]), axis, bwd)
-        forces = []
-        for k in range(dim):
-            fk = f_own[k] + react_ext[k][:mx].reshape(n_cells_loc, cap)
-            fk = fk.reshape(mx, nmid, nwin, cap).at[0].add(back[k])
-            forces.append(fk.reshape(-1))
-        if observables:
-            energy, virial = jax.lax.psum((energy, virial), axis)
-        return energy, virial, jnp.stack(forces), nbrs
+        f_grid = [(f_own[k] + react_ext[k][:mx].reshape(n_cells_loc, cap))
+                  .reshape(mx, nmid, nwin, cap) for k in range(dim)]
+        ghost_react = jnp.stack([react_ext[k][mx] for k in range(dim)])
+        return energy, virial, f_grid, ghost_react
+
+    def _scan_sweep_local(self, grids, grids_lo, ext, ext_lo, diam,
+                          ext_diam, uni, cell, observables):
+        """Memory-bounded sharded sweep: ``lax.scan`` over the LOCAL
+        x-planes, carrying the +x reaction plane (the sharded analog of
+        ``CellGridEngine._zwindow_sweep_scan`` — same per-plane math, same
+        reduction structure). Plane i's half stencil reads window planes i
+        and i+1 of ``ext`` (mx+1 planes; plane mx is the ppermuted ghost,
+        image-shifted at receive time, so NO wrap branch exists here —
+        contrast the single-chip scan's periodic wrap). The carry after the
+        last local plane is exactly the ghost-plane reaction payload the
+        dense sweep accumulates in ``react_ext[mx]``. Intermediates shrink
+        by a factor mx: per-shard dense tiles of (n_cells_loc, C, 3C) would
+        exhaust HBM at >=1M particles per shard (the regime multi-chip
+        exists for). Returns the same (energy, virial, f_grid, ghost_react)
+        contract as :meth:`_dense_sweep_local`."""
+        dim = len(grids)
+        dtype = grids[0].dtype
+        cap = self.cell_capacity
+        mx = self.mx
+        nmid, nwin = self.grid[1], self.grid[2]
+        m = nmid * nwin
+        hilo = grids_lo is not None
+
+        grids_s = jnp.stack(grids)                  # (d, mx, nmid, nwin, C)
+        ext_s = jnp.stack(ext)                      # (d, mx+1, nmid, nwin, 3C)
+        if hilo:
+            lo_s = jnp.stack(grids_lo)
+            ext_lo_s = jnp.stack(ext_lo)
+        diag_bump = self_pair_diag_bump(cap, dtype)
+
+        def yshift(w, oy, gy):
+            # Plane arrays are (nmid, nwin, 3C): the in-plane shift axis
+            # is 0.
+            return ghost_shift(w, oy, gy, axis=0)
+
+        def yshift_hilo(w, w_lo, oy, gy):
+            return ghost_shift_hilo(w, w_lo, oy, gy, axis=0)
+
+        def unwindow_plane(reaction):
+            r = reaction.reshape(nmid, nwin, 3, cap)
+            return (jnp.roll(r[:, :, 0, :], -1, axis=1) + r[:, :, 1, :]
+                    + jnp.roll(r[:, :, 2, :], 1, axis=1))
+
+        def at_plane(a, i):
+            return jax.lax.dynamic_index_in_dim(a, i, 0, False)
+
+        def body(carry, i):
+            energy, virial, react_in = carry
+            own = [at_plane(grids_s[k], i).reshape(m, cap, 1)
+                   for k in range(dim)]
+            wp = [at_plane(ext_s[k], i) for k in range(dim)]
+            wp1 = [at_plane(ext_s[k], i + 1) for k in range(dim)]
+            if uni:                          # uniform sigma: scalar constant
+                own_d = wd = wd1 = ext_diam
+            else:
+                own_d = at_plane(diam, i).reshape(m, cap, 1)
+                wd = at_plane(ext_diam, i)
+                wd1 = at_plane(ext_diam, i + 1)
+            if hilo:
+                own_lo = [at_plane(lo_s[k], i).reshape(m, cap, 1)
+                          for k in range(dim)]
+                wp_lo = [at_plane(ext_lo_s[k], i) for k in range(dim)]
+                wp1_lo = [at_plane(ext_lo_s[k], i + 1) for k in range(dim)]
+            else:
+                own_lo = wp_lo = wp1_lo = None
+
+            block = make_pair_block(self.potential, own, own_lo, own_d,
+                                    diag_bump, cap, observables)
+
+            u, f, r2s, dcs = block(wp, wd, True, wc_lo=wp_lo)
+            if observables:
+                energy = energy + 0.5 * jnp.sum(u)
+                virial = virial + 0.5 * jnp.sum(f * r2s)
+            f_own = jnp.stack([jnp.sum(f * dcs[k], axis=2)
+                               for k in range(dim)])         # (d, m, C)
+            react_out = jnp.zeros((dim, nmid, nwin, cap), dtype)
+
+            for ox, oy in ((0, 1), (1, -1), (1, 0), (1, 1)):
+                src = wp1 if ox else wp
+                srcd = wd1 if ox else wd
+                if hilo:
+                    src_lo = wp1_lo if ox else wp_lo
+                    shifted = [yshift_hilo(src[k], src_lo[k], oy, cell[k, 1])
+                               for k in range(dim)]
+                    wc = [s[0] for s in shifted]
+                    wc_lo = [s[1] for s in shifted]
+                else:
+                    wc = [yshift(src[k], oy, cell[k, 1]) for k in range(dim)]
+                    wc_lo = None
+                wdd = ext_diam if uni else yshift(srcd, oy, None)
+                u, f, r2s, dcs = block(wc, wdd, False, wc_lo=wc_lo)
+                if observables:
+                    energy = energy + jnp.sum(u)
+                    virial = virial + jnp.sum(f * r2s)
+                for k in range(dim):
+                    f_own = f_own.at[k].add(jnp.sum(f * dcs[k], axis=2))
+                    r = unwindow_plane(-jnp.sum(f * dcs[k], axis=1))
+                    r = jnp.roll(r, oy, axis=0)
+                    if ox:
+                        react_out = react_out.at[k].add(r)
+                    else:
+                        f_own = f_own.at[k].add(r.reshape(m, cap))
+
+            f_out = f_own + react_in.reshape(dim, m, cap)
+            return (energy, virial, react_out), f_out
+
+        zero = jnp.zeros((), dtype)
+        (energy, virial, ghost_react), f_planes = jax.lax.scan(
+            body, (zero, zero, jnp.zeros((dim, nmid, nwin, cap), dtype)),
+            jnp.arange(mx))
+        # (mx, d, m, C) -> per-component (mx, nmid, nwin, C)
+        f_grid = [f_planes[:, k].reshape(mx, nmid, nwin, cap)
+                  for k in range(dim)]
+        return energy, virial, f_grid, ghost_react
 
 
 # ---------------------------------------------------------------------------

@@ -248,24 +248,30 @@ def _pack_output_rows(state, use_slot, n):
         implied (exactly the n gathered rows; particle loss is caught by the
         scalar-vector count before any row is consumed).
 
-    Images are integer-exact in the position dtype; f32 ids ride as two
-    exact hi/lo rows (same encoding as
-    mdtpu.integrate.slot_step.pack_state_rows). The unitcell is constant
-    for a run and pulled once by the driver, not per event."""
+    Rows always travel as f32 regardless of the state dtype: the text
+    writers print ``%.6f`` (6 decimals), which f32 coordinates satisfy at
+    any practical box size, so f64 runs shipping f64 rows would pull 2x
+    the bytes their output can express (at trajectory cadence the payload
+    IS the throughput floor — measured +70% driver steps/s decoupled,
+    BENCH_NOTES). The on-device cast is free; checkpoints (full-precision
+    npz of the whole state) are unaffected. Images are integer-exact in
+    f32 (< 2^24 crossings); ids ride as two exact hi/lo rows (same
+    encoding as mdtpu.integrate.slot_step.pack_state_rows). The unitcell
+    is constant for a run and pulled once by the driver, not per event."""
     from mdtpu.integrate.slot_step import split_id_rows
 
-    dt = state.positions.dtype
+    dt = jnp.float32
     if use_slot:
         (idx,) = jnp.nonzero(state.nbrs.occupied, size=n,
                              fill_value=state.nbrs.occupied.shape[0] - 1)
         id_rows = split_id_rows(state.ids, dt)
         rows = jnp.concatenate([
-            state.positions,                        # (d, S)
+            state.positions.astype(dt),             # (d, S)
             state.images.astype(dt),                # (d, S)
         ] + id_rows, axis=0)
-        return jnp.take(rows, idx, axis=1)          # (2d+1 or 2d+2, n)
+        return jnp.take(rows, idx, axis=1)          # (2d+2, n)
     return jnp.concatenate([
-        state.positions.T,                          # (d, N)
+        state.positions.astype(dt).T,               # (d, N)
         state.images.astype(dt).T,                  # (d, N)
     ], axis=0)
 

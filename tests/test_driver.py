@@ -717,3 +717,40 @@ def test_driver_rejects_forced_f32x2_off_slot_path(small_system, tmp_path):
     with pytest.raises(ValueError, match="f32x2"):
         run_simulation(state, params, NVE(), 10, 10, str(tmp_path / "r"),
                        engine=eng, precision="f32x2")
+
+
+def test_output_rows_travel_as_f32(small_system):
+    """Trajectory/snapshot row payloads are cast to f32 on device for EVERY
+    state dtype: the text writers print %.6f, so f64 rows would ship twice
+    the bytes their output can express (the payload is the event-loop
+    throughput floor on the remote tunnel). Round-trip accuracy stays
+    within the f32/%.6f contract."""
+    from mdtpu.integrate.slot_step import slot_forces, slotify
+    from mdtpu.ops.cell_grid import CellGridEngine
+    from mdtpu.potentials.pseudo_hs import PseudoHS
+    from mdtpu.sim.driver import _pack_output_rows, _unpack_output_rows
+
+    from mdtpu.sim.initialization import lattice_fluid_state
+
+    n = 512  # big enough box for a cell grid at cutoff 1.5
+    state = lattice_fluid_state(n, 0.3, 1.0, dtype=jnp.float64, cutoff=1.5)
+    assert state.positions.dtype == jnp.float64
+
+    rows = _pack_output_rows(state, False, n)
+    assert rows.dtype == jnp.float32
+    out = _unpack_output_rows(rows, 3, False)
+    np.testing.assert_allclose(out["positions"],
+                               np.asarray(state.positions), atol=1e-5)
+    np.testing.assert_array_equal(out["images"], np.asarray(state.images))
+
+    eng = CellGridEngine.create(PseudoHS(), 1.5, 0.3,
+                                np.asarray(state.unitcell), n)
+    st = slot_forces(slotify(state, eng), eng)
+    rows = _pack_output_rows(st, True, n)
+    assert rows.dtype == jnp.float32
+    assert rows.shape == (2 * 3 + 2, n)  # ids as two exact hi/lo f32 rows
+    out = _unpack_output_rows(rows, 3, True)
+    order = np.argsort(out["ids"])
+    np.testing.assert_array_equal(out["ids"][order], np.arange(n))
+    np.testing.assert_allclose(out["positions"].T[order],
+                               np.asarray(state.positions), atol=1e-5)

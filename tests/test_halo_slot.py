@@ -251,6 +251,236 @@ def test_halo_slot_hilo_advance_matches_single_chip(mesh):
                                rtol=1e-4)
 
 
+def test_sharded_brownian_msd_matches_diffusion(mesh, tmp_path):
+    """Statistical gate for sharded Brownian dynamics: noise is keyed per
+    (step, shard) and drawn per slot, so sharded-vs-single exactness is
+    impossible BY DESIGN — instead the physics is pinned: free Brownian
+    particles (epsilon = 0) through run_simulation_sharded must diffuse
+    with MSD = 2 d D t (D = 1 in the reference's Ermak-McCammon units,
+    sigma^2 = 2 dt per step, /root/reference/src/integrate.jl:66-83 +
+    src/simulation.jl:212), across slab migrations."""
+    from mdtpu.parallel.driver import run_simulation_sharded
+    from mdtpu.core.box import unwrapped_positions
+    from mdtpu.sim.initialization import build_state_from_arrays
+
+    n, d, L = 2048, 3, 24.0
+    dtype = jnp.float64
+    key = jax.random.PRNGKey(11)
+    cell = jnp.eye(d, dtype=dtype) * L
+    pos = jax.random.uniform(key, (n, d), dtype=dtype) * L
+    state = build_state_from_arrays(pos, jnp.ones(n, dtype), cell, key,
+                                    dtype=dtype, cutoff=1.5)
+    pot = LennardJones(epsilon=0.0, r_cut=1.5)
+    params = Parameters(density=n / L ** 3, n_particles=n, dt=0.01,
+                        potential=pot)
+    nsteps = 200
+    # Pre-grown capacity: free diffusion (no repulsion) produces Poisson
+    # occupancy spikes the tuned estimate is deliberately tight against;
+    # the driver WOULD recover (restore-and-rerun) but the suite stays
+    # warning-free with the headroom.
+    eng = HaloSlotEngine.create_tuned(
+        pot, 1.5, np.asarray(cell), n, n_shards=8,
+        diameters=np.ones(n)).with_grown_capacity()
+    out = run_simulation_sharded(state, params, Brownian(1.0), nsteps, 100,
+                                 str(tmp_path / "b"), mesh=mesh, engine=eng)
+    end = np.asarray(unwrapped_positions(out.positions, out.images, cell))
+    msd = np.mean(np.sum((end - np.asarray(pos)) ** 2, axis=1))
+    expected = 2 * d * params.dt * nsteps
+    assert abs(msd - expected) / expected < 0.05
+    # The walkers really cross slabs (sqrt(2 D t) = 2.0 vs slab width 3.0).
+    slab0 = np.clip(np.asarray(pos)[:, 0] / L * 8, 0, 7.999).astype(int)
+    wrapped = np.asarray(out.positions)
+    slab1 = np.clip(wrapped[:, 0] / L * 8, 0, 7.999).astype(int)
+    assert int((slab0 != slab1).sum()) > n // 10
+
+
+def test_halo_slot_triclinic_advance_matches_single_chip(mesh):
+    """Sharded NVE in a TILTED (triclinic) box == the single-chip slot
+    advance: the ghost image shifts on both ppermute seams use full cell
+    vectors (halo_slot window exchange and the migration fold), so tilted
+    cells must work identically — proven here, not by inspection
+    (/root/reference/src/boundary.jl:7-17 is the general-cell wrap this
+    generalizes)."""
+    from mdtpu.sim.initialization import (build_state_from_arrays,
+                                          initialize_velocities)
+
+    key = jax.random.PRNGKey(31)
+    n = 4096
+    L = 24.0
+    cell = jnp.asarray([[L, 3.0, 2.0],
+                        [0.0, L, 4.0],
+                        [0.0, 0.0, L]], jnp.float64)
+    # Jittered FRACTIONAL lattice mapped through the tilted cell: overlap-
+    # free start (uniform random draws overlap and blow up the dynamics).
+    m = 16
+    g = (jnp.arange(m, dtype=jnp.float64) + 0.5) / m
+    frac = jnp.stack(jnp.meshgrid(g, g, g, indexing="ij"),
+                     axis=-1).reshape(-1, 3)[:n]
+    frac = frac + 0.02 / m * jax.random.uniform(
+        key, (n, 3), dtype=jnp.float64, minval=-1.0, maxval=1.0)
+    pos = frac @ cell.T
+    state = build_state_from_arrays(pos, jnp.ones(n, jnp.float64), cell,
+                                    jax.random.PRNGKey(1),
+                                    dtype=jnp.float64, cutoff=1.5)
+    state = state.replace(velocities=initialize_velocities(
+        0.4, jax.random.PRNGKey(2), n, 3, dtype=jnp.float64))
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=n / float(jnp.linalg.det(cell)),
+                        n_particles=n, dt=0.002, potential=pot)
+
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(cell), n,
+                                      n_shards=8)
+    single = eng.as_single_chip()
+
+    ref = slot_forces(slotify(state, single), single)
+    ref_adv = jax.jit(make_slot_advance(params, NVE(), single))
+    ref = ref_adv(ref, 40)
+    ref_out = unslotify_state(ref)
+
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, NVE(), eng, mesh, sh)
+    sh = adv(sh, 40)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    out = unshard_slot_state(sh)
+
+    assert int(sh.step) == 40
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(sh.virial), float(ref.virial),
+                               rtol=1e-10)
+
+
+# ---------------------------------------------------------------- plane scan
+# Large-N mode of the sharded engine: lax.scan over the LOCAL x-planes with
+# the same halo ppermutes (the scan carry's final +x reaction plane IS the
+# ghost payload). Must be the same physics as the single-chip plane-scan
+# slot sweep (cell_grid.CellGridEngine.plane_scan), which is itself
+# oracle-verified against the dense sweep.
+
+
+def _scan_system(n=9600, rho=0.4, temp=0.75, dtype=jnp.float64):
+    # Big enough box for a 16-plane grid, so each of the 8 shards owns
+    # mx = 2 local planes (mx = 1 would degenerate the scan to a single
+    # step and test nothing).
+    state = make_fluid_state(n=n, rho=rho, temp=temp, dtype=dtype,
+                             cutoff=1.5)
+    pot = LennardJones(r_cut=1.5, force_shift=True)
+    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
+    return state, params, pot
+
+
+def _scan_engine(pot, state, diameters=None):
+    """Forced 16-plane geometry (the tuned cost model prefers fat 8-plane
+    cells at this N, which would leave mx = 1) + plane_scan on."""
+    eng = HaloSlotEngine.create_tuned(pot, 1.5, np.asarray(state.unitcell),
+                                      state.n_particles, n_shards=8,
+                                      diameters=diameters)
+    L = float(state.unitcell[0, 0])
+    eng = eng.replace(grid=(16, 16, 16), cell_capacity=8,
+                      skin=L / 16 - 1.5, plane_scan=True)
+    assert eng.mx == 2
+    return eng
+
+
+def test_halo_slot_plane_scan_matches_single_chip(mesh):
+    """Sharded plane-scan advance == single-chip plane-scan slot advance
+    (same global geometry) through rebins and migrations."""
+    state, params, pot = _scan_system()
+    eng = _scan_engine(pot, state)
+    single = eng.as_single_chip()
+    assert single.plane_scan
+
+    ref = slot_forces(slotify(state, single), single)
+    ref_adv = jax.jit(make_slot_advance(params, NVT(0.75, 0.2), single))
+    ref = ref_adv(ref, 30)
+    ref_out = unslotify_state(ref)
+
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, NVT(0.75, 0.2), eng, mesh, sh)
+    sh = adv(sh, 30)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    out = unshard_slot_state(sh)
+
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(sh.virial), float(ref.virial),
+                               rtol=1e-10)
+
+
+def test_halo_slot_plane_scan_hilo_matches_single_chip(mesh):
+    """f32x2 hi/lo pair sweep composes with the sharded plane scan (the
+    ghost plane's lo words ride the window ppermute; the scan applies no
+    wrap shift of its own)."""
+    state, params, pot = _scan_system(dtype=jnp.float32)
+    eng = _scan_engine(pot, state)
+    single = eng.as_single_chip()
+
+    ref = slot_forces(slotify(state, single), single)
+    ref = jax.jit(make_slot_advance(params, NVE(), single, hilo=True))(ref, 30)
+    ref_out = unslotify_state(ref)
+
+    sh = build_sharded_slot_state(state, eng, mesh)
+    adv = make_sharded_slot_advance(params, NVE(), eng, mesh, sh, hilo=True)
+    sh = adv(sh, 30)
+    jax.block_until_ready(sh.positions)
+    assert not bool(np.asarray(sh.nbrs.overflow).any())
+    out = unshard_slot_state(sh)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref_out.positions),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-4)
+
+
+def test_halo_slot_plane_scan_polydisperse_forces_match(mesh):
+    """Non-uniform diameters exercise the scan's own/window diameter plane
+    indexing (the diameter window rides the halo ppermute payload)."""
+    state, params, pot = _scan_system()
+    key = jax.random.PRNGKey(7)
+    diam = 1.0 + 0.1 * jax.random.uniform(key, (state.n_particles,),
+                                          dtype=jnp.float64)
+    state = state.replace(diameters=diam)
+    eng = _scan_engine(pot, state, diameters=np.asarray(diam))
+    assert eng.uniform_sigma == 0.0
+    single = eng.as_single_chip()
+
+    ref = slot_forces(slotify(state, single), single)
+    sh = build_sharded_slot_state(state, eng, mesh)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-10)
+    out = unshard_slot_state(sh)
+    ref_out = unslotify_state(ref)
+    np.testing.assert_allclose(np.asarray(out.forces),
+                               np.asarray(ref_out.forces),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_halo_slot_create_tuned_auto_switches_to_scan():
+    """Per-shard dense tiles past ~120 MB must select the plane scan at
+    creation time (the >=1M-particles-per-shard regime multi-chip exists
+    for; same threshold as the single-chip create_tuned)."""
+    from mdtpu.potentials.lennard_jones import LennardJones
+
+    pot = LennardJones(r_cut=2.5)
+    n = 8_000_000
+    L = (n / 0.8) ** (1.0 / 3.0)
+    eng = HaloSlotEngine.create_tuned(pot, 2.5, np.eye(3) * L, n, n_shards=8)
+    assert eng.plane_scan
+    assert eng.as_single_chip().plane_scan
+    # Small systems stay dense.
+    small = HaloSlotEngine.create_tuned(
+        LennardJones(r_cut=1.5), 1.5, np.eye(3) * 14.42, 1200, n_shards=8)
+    assert not small.plane_scan
+
+
 # ----------------------------------------------------------------------- 2D
 # The slot halo engine is dimension-generic (x-slab decomposition with
 # y-windows; the reference is dimension-generic throughout,

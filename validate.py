@@ -1,8 +1,35 @@
-"""Physics validation on the chip: runs an LJ fluid near the triple point
-(rho=0.84, kT=0.75 — the classic state point) through the full public-API
-driver, then checks the RDF structure and thermo consistency. The analog of
-the reference's wiki validation against LAMMPS/NIST
-(/root/reference/README.md:189). Prints one JSON line.
+"""Physics validation on the chip against EXTERNAL anchors.
+
+Three state points run through the full public-API driver (the analog of
+the reference's wiki validation against LAMMPS/NIST,
+/root/reference/README.md:189 — with the numbers VENDORED here instead of
+pointed at):
+
+1. **Literature anchor** — LJ (rc = 3.0 sigma + standard tail
+   corrections) at the T* = 0.85 saturated-liquid point, rho* = 0.776:
+   U/N = -5.52, P = 0.007. Sources: NIST SRSW "Lennard-Jones Fluid
+   Properties" (Metropolis MC, N = 500, rc = 3.0 + LRC) and the
+   Johnson/Zollweg/Gubbins (1993) LJ EOS saturation tables, transcribed
+   from memory in an offline environment — the vendored values carry a
+   +-0.04 transcription band ON TOP of the published statistical errors,
+   and the acceptance window below is the combined budget (transcription
+   + our run's block-averaged SEM + N = 4096 finite-size). Deltas are
+   printed so drift is visible long before the window trips.
+
+2. **Exact virial anchor** — dilute LJ gas at T* = 2.0, rho* = 0.05:
+   Z = P/(rho T) and U/N compared against the virial expansion with B2(T)
+   computed by direct quadrature of the Mayer integral
+   (B2 = -2 pi int (e^{-u/T} - 1) r^2 dr) — exact statistical mechanics,
+   zero shared code with the MD path. The quadrature itself is pinned to a
+   PUBLISHED constant: the LJ Boyle temperature T_B* = 3.417927 (B2 = 0).
+   The O(rho^2) truncation is budgeted with |B3| <= 3 (generous over the
+   published |B3(2.0)| ~ 1.7).
+
+3. **Structure plausibility** — the classic near-triple-point liquid
+   (rho* = 0.84, kT* = 0.75, rc = 2.5 + LRC): first RDF peak position /
+   height windows, thermostat on target (round-3 checks, kept).
+
+Prints one JSON line with per-point deltas and pass/fail.
 """
 
 import json
@@ -16,34 +43,145 @@ enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 
+BOYLE_T = 3.417927  # published LJ Boyle temperature (B2 = 0)
 
-def main(n=4096, rho=0.84, temp=0.75, steps=30_000, out="/tmp/validate_run"):
-    from mdtpu import (NVT, Parameters, LennardJones, initialize_velocities,
-                       run_simulation)
-    from mdtpu.observables import read_thermo, rdf_histogram, rdf_normalize
+
+def lj_b2(temp, rmax=40.0, n=200_000):
+    """B2(T) of the FULL Lennard-Jones potential by quadrature (host-side
+    trapezoid on a fine grid + analytic e^{-u/T}-1 ~ -u/T tail). Exact
+    statistical mechanics — the independent oracle for the dilute anchor."""
+    r = np.linspace(1e-8, rmax, n, dtype=np.float64)
+    u = 4.0 * (r ** -12 - r ** -6)
+    f = np.expm1(-u / temp)  # e^{-u/T} - 1, exactly -1 at r -> 0
+    integral = np.trapezoid(f * r * r, r)
+    # Tail: u ~ -4 r^-6 -> f ~ -u/T; int_rmax^inf (4 r^-6 / T) r^2 dr.
+    tail = (4.0 / (3.0 * temp)) * rmax ** -3
+    return -2.0 * np.pi * (integral + tail)
+
+
+def lj_u2(temp, rmax=40.0, n=200_000):
+    """Low-density energy coefficient: U/N = 2 pi rho int u e^{-u/T} r^2 dr
+    + O(rho^2) for the full LJ potential."""
+    r = np.linspace(1e-8, rmax, n, dtype=np.float64)
+    u = 4.0 * (r ** -12 - r ** -6)
+    w = np.exp(np.clip(-u / temp, -700.0, 50.0))
+    integral = np.trapezoid(u * w * r * r, r)
+    tail = -4.0 / (3.0) * rmax ** -3  # u ~ -4 r^-6, e^{-u/T} ~ 1
+    return 2.0 * np.pi * (integral + tail)
+
+
+def block_sem(series, nblocks=10):
+    """Standard error of the mean by block averaging (guards against the
+    serial correlation a naive SEM ignores)."""
+    series = np.asarray(series, np.float64)
+    m = len(series) // nblocks
+    if m == 0:
+        return float("inf")
+    blocks = series[: m * nblocks].reshape(nblocks, m).mean(axis=1)
+    return float(blocks.std(ddof=1) / np.sqrt(nblocks))
+
+
+def _run_nvt(n, rho, temp, rc, steps, out, dt=0.002, frequency=200,
+             dtype=jnp.float32):
+    from mdtpu import NVT, Parameters, LennardJones, run_simulation
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.sim.initialization import lattice_fluid_state
 
-    dtype = jnp.float32
-    state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=2.5,
+    state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=rc,
                                 jitter=0.01)
-    cell = state.unitcell
+    pot = LennardJones(r_cut=rc, tail_correction=True)
+    params = Parameters(density=rho, n_particles=n, dt=dt, potential=pot)
+    engine = CellGridEngine.create_tuned(pot, rc, np.asarray(state.unitcell),
+                                         n, diameters=np.ones(n, np.float32))
+    state = run_simulation(state, params, NVT(temp, 0.2), steps, frequency,
+                           out, engine=engine, perf_log=True)
+    return state, params, engine
 
-    pot = LennardJones(r_cut=2.5, tail_correction=True)
-    params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
-    engine = CellGridEngine.create(pot, 2.5, 0.3, np.asarray(cell), n,
-                                   diameters=np.ones(n, np.float32))
 
-    state = run_simulation(state, params, NVT(temp, 0.2), steps, 1_000, out,
-                           engine=engine, perf_log=True)
+def _thermo_tail(out):
+    from mdtpu.observables import read_thermo
 
-    # RDF from final configuration + a few decorrelated snapshots.
+    thermo = read_thermo(os.path.join(out, "thermo.txt"))
+    half = len(thermo["temperature"]) // 2
+    return {k: np.asarray(v[half:]) for k, v in thermo.items()}
+
+
+def point_nist_sat_liquid(base="/tmp/validate_nist"):
+    """LJ rc=3.0+LRC at T*=0.85, rho*=0.776 vs the vendored NIST/Johnson
+    saturated-liquid values."""
+    n, rho, temp = 4096, 0.776, 0.85
+    REF_U, REF_P = -5.52, 0.007          # vendored (see module docstring)
+    TOL_U, TOL_P = 0.10, 0.10            # transcription + finite-size + SEM
+    state, _, _ = _run_nvt(n, rho, temp, 3.0, 40_000, base)
+    tail = _thermo_tail(base)
+    mean_e = float(tail["energy"].mean())
+    mean_p = float(tail["pressure"].mean())
+    mean_t = float(tail["temperature"].mean())
+    sem_e = block_sem(tail["energy"])
+    sem_p = block_sem(tail["pressure"])
+    d_u, d_p = mean_e - REF_U, mean_p - REF_P
+    checks = {
+        "nist_energy_within_budget": bool(abs(d_u) < TOL_U + 3 * sem_e),
+        "nist_pressure_within_budget": bool(abs(d_p) < TOL_P + 3 * sem_p),
+        "nist_temperature_on_target": bool(abs(mean_t - temp) < 0.02),
+    }
+    return {
+        "config": f"LJ N={n} rho={rho} kT={temp} rc=3.0 (tail-corrected)",
+        "ref_U_per_N": REF_U, "ref_P": REF_P,
+        "mean_E_per_N": round(mean_e, 4), "mean_P": round(mean_p, 4),
+        "delta_U": round(d_u, 4), "delta_P": round(d_p, 4),
+        "sem_U": round(sem_e, 4), "sem_P": round(sem_p, 4),
+        "checks": checks,
+    }
+
+
+def point_virial_dilute(base="/tmp/validate_virial"):
+    """Dilute LJ gas vs the exact virial expansion (B2 quadrature pinned by
+    the published Boyle temperature)."""
+    n, rho, temp = 4096, 0.05, 2.0
+    # Pin the quadrature to published physics before using it.
+    boyle_resid = float(lj_b2(BOYLE_T))
+    b2 = float(lj_b2(temp))
+    u2 = float(lj_u2(temp))
+    state, _, _ = _run_nvt(n, rho, temp, 3.0, 60_000, base, dt=0.004)
+    tail = _thermo_tail(base)
+    z = tail["pressure"] / (rho * tail["temperature"])
+    z_mean = float(z.mean())
+    z_pred = 1.0 + b2 * rho
+    sem_z = block_sem(z)
+    b3_budget = 3.0 * rho ** 2          # |B3(2.0)| ~ 1.7 published; bound 3
+    u_mean = float(tail["energy"].mean())
+    u_pred = u2 * rho
+    sem_u = block_sem(tail["energy"])
+    u_budget = abs(u_pred) * 0.10 + 3 * sem_u  # O(rho^2) + stat
+    checks = {
+        "boyle_pin_ok": bool(abs(boyle_resid) < 2e-3),
+        "virial_Z_within_budget":
+            bool(abs(z_mean - z_pred) < b3_budget + 3 * sem_z),
+        "virial_U_within_budget": bool(abs(u_mean - u_pred) < u_budget),
+    }
+    return {
+        "config": f"LJ N={n} rho={rho} kT={temp} rc=3.0 (tail-corrected)",
+        "B2": round(b2, 5), "boyle_residual": round(boyle_resid, 6),
+        "Z_measured": round(z_mean, 5), "Z_virial": round(z_pred, 5),
+        "delta_Z": round(z_mean - z_pred, 5), "sem_Z": round(sem_z, 5),
+        "U_measured": round(u_mean, 5), "U_virial": round(u_pred, 5),
+        "delta_U": round(u_mean - u_pred, 5),
+        "checks": checks,
+    }
+
+
+def point_triple_rdf(base="/tmp/validate_run"):
+    """Round-3 structure/plausibility point (rho=0.84, kT=0.75, rc=2.5)."""
+    from mdtpu import NVT, Parameters
+    from mdtpu.observables import rdf_histogram, rdf_normalize
+    from mdtpu.integrate.step import make_step
+
+    n, rho, temp = 4096, 0.84, 0.75
+    state, params, engine = _run_nvt(n, rho, temp, 2.5, 30_000, base,
+                                     frequency=1_000)
     counts = np.zeros(200, np.int64)
     frames = 0
-    from mdtpu.integrate.step import make_step
-    # The driver may have returned nbrs from a GROWN-capacity engine
-    # (overflow recovery) whose shapes don't match this engine's grid —
-    # re-allocate with the engine the sampling step is built around.
     state = state.replace(nbrs=engine.allocate(
         state.positions, state.diameters, state.unitcell,
         state.unitcell_inv))
@@ -54,20 +192,16 @@ def main(n=4096, rho=0.84, temp=0.75, steps=30_000, out="/tmp/validate_run"):
         counts += np.asarray(rdf_histogram(state.positions, state.unitcell,
                                            state.unitcell_inv, 3.0, 200))
         frames += 1
-    volume = float(abs(np.linalg.det(np.asarray(cell, np.float64))))
+    volume = float(abs(np.linalg.det(np.asarray(state.unitcell, np.float64))))
     centers, g = rdf_normalize(counts, n, volume, 3.0,
                                n_frames=frames, dim=3)
-
     peak_idx = int(np.argmax(g))
     peak_r = float(centers[peak_idx])
     peak_g = float(g[peak_idx])
-
-    thermo = read_thermo(os.path.join(out, "thermo.txt"))
-    half = len(thermo["temperature"]) // 2
-    mean_t = float(thermo["temperature"][half:].mean())
-    mean_p = float(thermo["pressure"][half:].mean())
-    mean_e = float(thermo["energy"][half:].mean())
-
+    tail = _thermo_tail(base)
+    mean_t = float(tail["temperature"].mean())
+    mean_p = float(tail["pressure"].mean())
+    mean_e = float(tail["energy"].mean())
     checks = {
         # dense LJ liquid: first RDF peak at ~1.05-1.15 sigma, height ~2.5-3.5
         "rdf_peak_r_in_range": bool(1.0 < peak_r < 1.2),
@@ -77,12 +211,28 @@ def main(n=4096, rho=0.84, temp=0.75, steps=30_000, out="/tmp/validate_run"):
         "energy_per_particle_plausible": bool(-6.8 < mean_e < -5.4),
         "pressure_plausible": bool(-1.5 < mean_p < 1.5),
     }
-    print(json.dumps({
+    return {
         "config": f"LJ N={n} rho={rho} kT={temp} rc=2.5 (tail-corrected)",
         "rdf_peak_r": round(peak_r, 3), "rdf_peak_g": round(peak_g, 2),
         "mean_T": round(mean_t, 4), "mean_P": round(mean_p, 3),
         "mean_E_per_N": round(mean_e, 3),
-        "checks": checks, "pass": all(checks.values()),
+        "checks": checks,
+    }
+
+
+def main():
+    points = {
+        "nist_sat_liquid": point_nist_sat_liquid(),
+        "virial_dilute": point_virial_dilute(),
+        "triple_point_rdf": point_triple_rdf(),
+    }
+    all_checks = {}
+    for name, p in points.items():
+        all_checks.update({f"{name}.{k}": v for k, v in p["checks"].items()})
+    print(json.dumps({
+        "points": points,
+        "pass": all(all_checks.values()),
+        "failed": [k for k, v in all_checks.items() if not v],
     }))
 
 
