@@ -73,7 +73,9 @@ def bench_slot_fire(n, iters=200, reps=3):
 
 
 if __name__ == "__main__":
-    n = 262144
+    import sys
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
     slot = bench_slot_fire(n)
     particle = bench_particle_order_fire(n)
     print(json.dumps({

@@ -267,10 +267,7 @@ def make_slot_fire(engine, *, max_steps=10000, tol=1e-6, dt_initial=0.01,
     ``overflow`` output is the global sticky capacity/migration flag: a
     True run must be retried at grown capacity from the ORIGINAL state
     (overflowed rebins drop rows)."""
-    from mdtpu.integrate.slot_step import (_engine_needs_rebin, _engine_rebin,
-                                           slot_needs_rebin)
-
-    uncond = getattr(engine, "rebin_unconditional", False)
+    from mdtpu.integrate.slot_step import _engine_needs_rebin, _engine_rebin
 
     def pmax(x):
         return jax.lax.pmax(x, axis_name) if axis_name else x
@@ -302,17 +299,18 @@ def make_slot_fire(engine, *, max_steps=10000, tol=1e-6, dt_initial=0.01,
             return jax.lax.psum(local.astype(jnp.int32), axis_name) > 0
         return local
 
-    def sweep(s):
+    def sweep(s, observables=True):
+        # Lean in-loop sweeps: FIRE consumes only forces per iteration
+        # (energy/virial are refreshed by one full sweep at exit), which
+        # skips the energy polynomial + virial accumulation passes — same
+        # trick as make_slot_advance's lean steps, forces bitwise
+        # identical.
         e, w, f, nbrs = engine.compute_slots(
-            s.positions, s.diameters, s.unitcell, s.unitcell_inv, s.nbrs)
+            s.positions, s.diameters, s.unitcell, s.unitcell_inv, s.nbrs,
+            observables=observables)
+        if not observables:
+            e, w = s.energy, s.virial
         return s.replace(forces=f, energy=e, virial=w, nbrs=nbrs)
-
-    def maybe_rebin(s):
-        if uncond:
-            return _engine_rebin(s, engine)
-        return jax.lax.cond(_engine_needs_rebin(s, engine, axis_name),
-                            lambda t: _engine_rebin(t, engine),
-                            lambda t: t, s)
 
     def fire_step(s, sc, ndof):
         dtype = s.positions.dtype
@@ -359,7 +357,7 @@ def make_slot_fire(engine, *, max_steps=10000, tol=1e-6, dt_initial=0.01,
                          jnp.zeros_like(disp))
 
         s = s.replace(positions=s.positions + disp, velocities=v)
-        s = sweep(s)
+        s = sweep(s, observables=False)
         f_rms = g_f_rms(s.forces, ndof)
         return s, _FireScalars(dt, alpha, ssn, sc.step + 1, f_rms)
 
@@ -383,7 +381,15 @@ def make_slot_fire(engine, *, max_steps=10000, tol=1e-6, dt_initial=0.01,
 
         def outer_body(c):
             s, sc, ovf = c
-            s = maybe_rebin(s)
+            # Rebin UNCONDITIONALLY: the inner loop exits to here exactly
+            # when a rebuild is needed (or on the very first entry, where
+            # one extra rebin is exact and cheap), so the drift re-check +
+            # lax.cond the dynamics' advance uses would be pure overhead at
+            # FIRE's rebin cadence (~every 4 iterations at the dmax cap —
+            # vs ~25+ steps for thermal dynamics). Also what the sharded
+            # engine requires anyway (collectives under lax.cond are not
+            # SPMD-safe).
+            s = _engine_rebin(s, engine)
             ovf = ovf | overflow_any(s)
 
             # Same inner-predicate rule as make_slot_advance: the while
@@ -408,6 +414,9 @@ def make_slot_fire(engine, *, max_steps=10000, tol=1e-6, dt_initial=0.01,
 
         state, sc, ovf = jax.lax.while_loop(outer_cond, outer_body,
                                             (state, sc0, ovf0))
+        # In-loop sweeps are lean (forces only): one full sweep refreshes
+        # energy/virial at the reported minimum.
+        state = sweep(state)
         converged = (sc.f_rms < tol) & ~ovf
         return state, sc.f_rms, converged, sc.step, ovf
 
