@@ -85,4 +85,6 @@ if __name__ == "__main__":
     # --f64: the coupled-cadence case in f64 — measures the on-device f32
     # cast of output rows (round-4: f64 rows used to ship 2x the bytes
     # their %.6f text output can express).
+    if "--f64" in sys.argv:
+        jax.config.update("jax_enable_x64", True)
     main(f64="--f64" in sys.argv)

@@ -24,11 +24,13 @@ Layout contract:
     rebuild folds occupied rows through the compensated add and accumulates
     crossing counts into ``images``. Outputs fold the residual drift on the
     host;
-  * when any particle drifts past skin/2 the loop re-bins: one key sort +
-    one packed (R, n_slots) gather + one packed scatter moving ALL state
-    rows at once (~2.4 ms at the 65k bench vs ~21 ms for per-row scatters),
-    amortized over the rebuild interval. ``make_slot_advance`` hoists the
-    rebuild out of the per-step path entirely (nested while_loop).
+  * when any particle drifts past skin/2 the loop re-bins: one key sort,
+    per-cell run starts by binary search, and ONE packed (R, n_slots)
+    gather moving ALL state rows at once (scatter-free — TPU scatters
+    serialize over indices: the earlier packed-scatter form cost 199 ms at
+    1.67M slots vs 80 ms for this gather form, probe_sort.py), amortized
+    over the rebuild interval. ``make_slot_advance`` hoists the rebuild
+    out of the per-step path entirely (nested while_loop).
 
 The role analog in the reference is CellListMap's internally-permuted
 particle storage (it also computes on cell-ordered copies,
@@ -299,16 +301,31 @@ def pack_state_rows(state: SimulationState):
     ] + id_rows)
 
 
-def unpack_state_rows(state: SimulationState, packed, occupied=None):
-    """Inverse of :func:`pack_state_rows` (``packed`` already resorted)."""
+def unpack_state_rows(state: SimulationState, packed, occupied=None,
+                      position_fill=None):
+    """Inverse of :func:`pack_state_rows` (``packed`` already resorted).
+
+    ``position_fill=(valid, far)``: overwrite vacant slots' positions with
+    the far-pad ramp ``far`` (one fused select on ``dim`` rows). This is
+    the ONLY per-field select allowed here: applying all vacant fills as
+    per-field wheres on slices of the shared gather output made XLA's
+    layout assignment flip the (R, n_slots) intermediate per consumer —
+    6 transposes + 24 copies of ~37 MB arrays, 26.4 ms vs 10.6 ms for the
+    whole resort at 426k slots (probe_rebin_parts7/8.py + HLO dump). All
+    constant fills instead ride the gather via :func:`packed_resort`'s
+    appended fill column."""
     dim = state.positions.shape[0]
+    positions = packed[0:dim]
+    if position_fill is not None:
+        valid, far = position_fill
+        positions = jnp.where(valid[None, :], positions, far[None])
     diameters = packed[6 * dim]
     if occupied is None:
         occupied = packed[6 * dim + 1] != 0
     nbrs = state.nbrs.replace(
         occupied=occupied,
         sorted_diam=diameters,
-        ref_positions=packed[0:dim],
+        ref_positions=positions,
     )
     if state.ids is None:
         ids = None
@@ -317,7 +334,7 @@ def unpack_state_rows(state: SimulationState, packed, occupied=None):
     else:
         ids = join_id_rows(packed[6 * dim + 2])
     return state.replace(
-        positions=packed[0:dim],
+        positions=positions,
         velocities=packed[dim:2 * dim],
         forces=packed[2 * dim:3 * dim],
         pos_comp=packed[3 * dim:4 * dim],
@@ -333,12 +350,27 @@ def packed_resort(state: SimulationState, cid, n_cells: int, cap: int,
                   far_offset=None, extra_rows=None, extra_cid=None):
     """Re-sort all slot arrays by target cell id (the rebuild core).
 
-    Fixed shapes: one (n_slots,) argsort + ONE packed (R, n_slots) scatter
-    moving every state row at once. TPU scatters serialize over indices but
-    vectorize over the scattered slice: 21 separate row scatters cost ~21 ms
-    at the 65k bench, the packed form 1.35 ms (probe_rebin) — so everything,
-    including the int32 images and the bool occupancy mask, rides the one
-    f32 scatter (image counts and 0/1 flags are exact in f32).
+    Fixed shapes, GATHER-formulated: one (m,) key sort carrying the source
+    index, per-cell run starts by vectorized binary search over the sorted
+    keys, then ONE packed (R, n_slots) gather pulling every state row at
+    once — slot ``c*cap + k`` reads source row ``order[starts[c] + k]``.
+    The earlier scatter formulation (``base.at[:, addr].set(rows_sorted)``)
+    was the rebin bottleneck at scale: TPU scatters serialize over indices
+    (probe_sort.py: 53 ms at 426k slots, 199 ms at 1.67M for the 23-row
+    packed scatter, vs 5.4/53 ms for the equivalent gather and ~3-5 ms for
+    the sort itself), so inverting the permutation analytically and
+    gathering is ~3-4x cheaper end-to-end.
+
+    Vacant-slot fills ride the gather itself: ``rows`` is padded with ONE
+    fill column holding each row's vacant constant (0 for velocities/
+    forces/comps/images/occupancy, 1 for diameters, the id sentinels) and
+    invalid slots' source index points at it. Only positions need a
+    per-slot value (the far-pad ramp must keep vacant coordinates unique
+    and >= 4 apart) — applied as one ``dim``-row select in
+    :func:`unpack_state_rows`. Applying ALL fills as per-field selects on
+    the gather output instead made XLA layout-flip the shared intermediate
+    per consumer (6 transposes + 24 copies: 26.4 ms vs 10.6 ms for this
+    form at 426k slots, probe_rebin_parts8.py).
 
     ``cid``: per-row target cell (= ``n_cells`` for vacant/trash rows).
     ``far_offset``: far-pad ramp INDEX offset (see
@@ -361,35 +393,45 @@ def packed_resort(state: SimulationState, cid, n_cells: int, cap: int,
     m = rows.shape[1]
 
     # One sort carrying the identity payload gives sorted keys AND the
-    # permutation; within-cell ranks come from a cummax scan over the
-    # first-occurrence positions — no counts scatter-add, no starts gather,
-    # no inverse-permutation scatter (each was ~1 ms at the 65k bench).
+    # permutation. is_stable=False: slot order WITHIN a cell is arbitrary
+    # (the sweeps are order-independent and unslotify re-sorts by ids) and
+    # the unstable network is cheaper.
     iota = jnp.arange(m, dtype=jnp.int32)
-    cid_sorted, order = jax.lax.sort((cid, iota), num_keys=1)
-    first = jnp.concatenate([
-        jnp.ones((1,), bool), cid_sorted[1:] != cid_sorted[:-1]])
-    starts_per_elem = jax.lax.cummax(jnp.where(first, iota, 0), axis=0)
-    rank = iota - starts_per_elem
-    real = cid_sorted < n_cells
-    overflow = jnp.any(real & (rank >= cap))
-    addr_sorted = jnp.where(real & (rank < cap), cid_sorted * cap + rank,
-                            n_slots)
+    cid_sorted, order = jax.lax.sort((cid, iota), num_keys=1,
+                                     is_stable=False)
+    # Per-cell run boundaries in the sorted keys: starts[c] = first sorted
+    # position with key >= c (length n_cells + 1; starts[n_cells] bounds the
+    # last real cell against the trash run). O(n_cells log m) binary-search
+    # gathers — noise next to the sort.
+    starts = jnp.searchsorted(cid_sorted,
+                              jnp.arange(n_cells + 1, dtype=cid.dtype),
+                              side="left").astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]              # (n_cells,)
+    overflow = jnp.any(counts > cap)
+    # Target slot c*cap + k sources sorted row starts[c] + k while k is
+    # within the cell's run (k < counts[c], k < cap by construction).
+    idx = (starts[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :])
+    valid = (idx < starts[1:, None]).reshape(-1)   # (n_slots,) occupancy
+    src = order[jnp.clip(idx.reshape(-1), 0, m - 1)]
 
+    # Append the vacant fill column and route invalid slots' reads to it —
+    # the constant fills come out of the ONE packed gather for free.
+    fills = [jnp.zeros((6 * dim, 1), dtype),       # pos/vel/frc/pc/vc/img
+             jnp.ones((1, 1), dtype),              # diameters
+             jnp.zeros((1, 1), dtype)]             # occupancy flag
+    if state.ids is not None:
+        fills += [jnp.full((1, 1), f, dtype) for f in id_row_fills(dtype)]
+    rows = jnp.concatenate([rows] + [jnp.concatenate(fills, axis=0)], axis=1)
+    src = jnp.where(valid, src, m)
+    packed = jnp.take(rows, src, axis=1)           # ONE packed gather
+
+    # Positions are the one field whose vacant fill is per-slot: the
+    # exactly-representable far-pad ramp (vacant coordinates must stay
+    # unique and >= 4 apart so no vacant pair ever hits r2 = 0).
     far = _far_row(n_slots, dtype,
-                   far_k0=0 if far_offset is None else far_offset)
-    id_fill = ([] if state.ids is None else
-               [jnp.full((1, n_slots + 1), f, dtype)
-                for f in id_row_fills(dtype)])
-    base = jnp.concatenate([
-        jnp.broadcast_to(far[None], (dim, n_slots + 1)),
-        jnp.zeros((5 * dim, n_slots + 1), dtype),
-        jnp.ones((1, n_slots + 1), dtype),
-        jnp.zeros((1, n_slots + 1), dtype),
-    ] + id_fill)
-    rows_sorted = jnp.take(rows, order, axis=1)    # packed gather
-    packed = base.at[:, addr_sorted].set(rows_sorted)[:, :-1]  # packed scatter
-
-    return unpack_state_rows(state, packed), overflow
+                   far_k0=0 if far_offset is None else far_offset)[:-1]
+    return unpack_state_rows(state, packed, occupied=valid,
+                             position_fill=(valid, far)), overflow
 
 
 def _rebin(state: SimulationState, engine: CellGridEngine) -> SimulationState:
