@@ -53,7 +53,7 @@ JULIA_BASELINE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring
 
 
 def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
-          cell_capacity=36, skin=0.6):
+          cell_capacity=36, skin=0.6, poly=0.0, tuned=False):
     # skin 0.6 -> grid 14 (cell 3.1), mean occupancy 23.9; C=36 (+2.5 sigma,
     # overflow flag guards the tail) pads to the same 40 sublanes as any C in
     # 33..40 while halving the rebuild frequency vs skin 0.3 — measured best
@@ -66,6 +66,17 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
 
     state = lattice_fluid_state(n, rho, temp, dtype=dtype, cutoff=2.5,
                                 jitter=0.01)
+    diameters = jnp.ones(n, dtype)
+    if poly:
+        # Polydisperse row (VERDICT r4 item 6): sigma ~ U[1-poly, 1+poly].
+        # The reference is polydisperse-FIRST (per-pair Lorentz mixing in
+        # every hot call, /root/reference/src/potentials.jl:160-164); our
+        # uniform-sigma fast path hoists the mixing, so this row bounds
+        # what that hoist is worth. LJ cuts at fixed r_cut regardless of
+        # sigma, so geometry and cutoff are unchanged.
+        diameters = 1.0 + poly * jax.random.uniform(
+            jax.random.PRNGKey(7), (n,), dtype, minval=-1.0, maxval=1.0)
+        state = state.replace(diameters=diameters)
     cell = state.unitcell
 
     # Unshifted LJ with Lorentz sigma-mixing: exactly what the reference
@@ -73,9 +84,15 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
     # always lj_unshifted, sigma = (s1+s2)/2).
     pot = LennardJones(r_cut=2.5)
     params = Parameters(density=rho, n_particles=n, dt=0.002, potential=pot)
-    engine = CellGridEngine.create(pot, 2.5, skin, np.asarray(cell), n,
-                                   cell_capacity=cell_capacity,
-                                   diameters=np.ones(n, np.float32))
+    if tuned:
+        # Sizes beyond the headline 65k: padded-lane-optimal geometry with
+        # the dense-tile -> plane-scan auto-switch.
+        engine = CellGridEngine.create_tuned(pot, 2.5, np.asarray(cell), n,
+                                             diameters=np.asarray(diameters))
+    else:
+        engine = CellGridEngine.create(pot, 2.5, skin, np.asarray(cell), n,
+                                       cell_capacity=cell_capacity,
+                                       diameters=np.asarray(diameters))
 
     if slot:
         # Slot-space hot loop: no per-step scatter/gather, skin rebuild
@@ -86,7 +103,7 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
 
         state = slot_forces(slotify(state, engine), engine)
         advance = jax.jit(make_slot_advance(params, NVT(temp, 0.4), engine))
-        return state, advance
+        return state, advance, engine
     else:
         nbrs = engine.allocate(state.positions, state.diameters,
                                state.unitcell, state.unitcell_inv)
@@ -98,11 +115,11 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
 
     advance = jax.jit(
         lambda s, k: jax.lax.fori_loop(0, k, lambda i, x: step(x), s))
-    return state, advance
+    return state, advance, engine
 
 
 def main(slot=True):
-    state, advance = build(slot=slot)
+    state, advance, engine = build(slot=slot)
     # Warmup/compile + melt the lattice into a fluid (400 steps: the
     # melting transient rebuilds the cell lists far more often than steady
     # state, which depressed the round-1/2 200-step-warmup numbers).
@@ -123,6 +140,9 @@ def main(slot=True):
 
     steps_per_sec = n_steps / elapsed
     n = 65536
+    # Machine-checkable utilization (VERDICT r4 item 5): the padded-lane
+    # roofline previously hand-derived in BENCH_NOTES, emitted per round.
+    util = engine.padded_lane_stats(ms_per_step=elapsed / n_steps * 1e3)
     print(json.dumps({
         "metric": "steps/sec, N=65536 LJ fluid NVT (rho=0.8, rc=2.5, f32, cell-grid engine)",
         "value": round(steps_per_sec, 2),
@@ -145,10 +165,46 @@ def main(slot=True):
                 steps_per_sec / JULIA_BASELINE_STEPS_PER_SEC, 1),
             "16_core_node": round(steps_per_sec / 125.0, 1),
         },
+        **util,
     }))
+
+
+def poly_main(spread=0.2):
+    """Polydisperse headline rows (VERDICT r4 item 6): the same NVT loop
+    with per-pair Lorentz sigma mixing live in the sweep (sigma ~
+    U[1-spread, 1+spread]) at 65k and 262k, next to the uniform-sigma
+    number so the headline's fast-path scope is explicit."""
+    for n in (65536, 262144):
+        rows = {}
+        for name, spr in (("uniform_sigma", 0.0), ("polydisperse", spread)):
+            state, advance, engine = build(n=n, slot=True, poly=spr,
+                                           tuned=n != 65536)
+            state = advance(state, 400)
+            jax.block_until_ready(state)
+            n_steps = 600 if n <= 100_000 else 300
+            elapsed = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                state = advance(state, n_steps)
+                jax.block_until_ready(state)
+                elapsed = min(elapsed, time.perf_counter() - t0)
+            assert bool(jnp.isfinite(state.temperature))
+            assert not bool(state.nbrs.overflow)
+            rows[name] = round(n_steps / elapsed, 1)
+        print(json.dumps({
+            "metric": f"steps/sec, N={n} LJ NVT f32, uniform vs "
+                      f"polydisperse sigma~U[{1-spread},{1+spread}] "
+                      "(per-pair Lorentz mixing live in the sweep)",
+            **rows,
+            "poly_cost_pct": round((rows["uniform_sigma"]
+                                    / rows["polydisperse"] - 1) * 100, 1),
+        }), flush=True)
 
 
 if __name__ == "__main__":
     import sys
 
-    main(slot="--no-slot" not in sys.argv)
+    if "--poly" in sys.argv:
+        poly_main()
+    else:
+        main(slot="--no-slot" not in sys.argv)

@@ -51,14 +51,14 @@ def bench_particle_order_fire(n, iters=200, reps=3):
     return iters / best
 
 
-def bench_slot_fire(n, iters=200, reps=3):
+def bench_slot_fire(n, iters=200, reps=3, workload="dynamics"):
     from mdtpu.integrate.slot_step import slot_forces, slotify
     from mdtpu.minimize.fire import make_slot_fire
     from mdtpu.ops.cell_grid import CellGridEngine
 
     state, params, pot = _system(n)
     eng = CellGridEngine.create_tuned(pot, 2.5, np.asarray(state.unitcell),
-                                      n)
+                                      n, workload=workload)
     st = slot_forces(slotify(state, eng), eng)
     run = jax.jit(make_slot_fire(eng, max_steps=iters, tol=0.0))
     out = run(st)
@@ -69,18 +69,28 @@ def bench_slot_fire(n, iters=200, reps=3):
         t0 = time.perf_counter()
         jax.block_until_ready(run(st)[0].positions)
         best = min(best, time.perf_counter() - t0)
-    return iters / best
+    geom = (f"grid={eng.grid} C={eng.cell_capacity} skin={eng.skin:.2f}"
+            f" scan={int(eng.plane_scan)}")
+    return iters / best, geom
 
 
 if __name__ == "__main__":
     import sys
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
-    slot = bench_slot_fire(n)
-    particle = bench_particle_order_fire(n)
-    print(json.dumps({
+    iters = 100 if n > 500_000 else 200
+    slot, geom_dyn = bench_slot_fire(n, iters=iters)
+    slot_min, geom_min = bench_slot_fire(n, iters=iters, workload="minimize")
+    out = {
         "metric": f"FIRE iterations/sec, N={n} LJ rho=0.8 rc=2.5 f32",
         "slot_fire": round(slot, 1),
-        "particle_order_fire": round(particle, 1),
-        "speedup": round(slot / particle, 2),
-    }))
+        "slot_fire_geometry": geom_dyn,
+        "slot_fire_minimize_tuned": round(slot_min, 1),
+        "minimize_tuned_geometry": geom_min,
+        "minimize_tuning_speedup": round(slot_min / slot, 2),
+    }
+    if "--no-particle" not in sys.argv and n <= 500_000:
+        particle = bench_particle_order_fire(n, iters=iters)
+        out["particle_order_fire"] = round(particle, 1)
+        out["speedup"] = round(max(slot, slot_min) / particle, 2)
+    print(json.dumps(out))

@@ -64,6 +64,8 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
     state = advance(state, steps)
     jax.block_until_ready(state)
     rate = steps / (time.perf_counter() - t0)
+    util = (engine.padded_lane_stats(ms_per_step=1e3 / rate)
+            if slot else {})
     ok = bool(jnp.isfinite(state.temperature))
     # A capacity overflow silently drops particles (less pair work) and
     # would inflate the published rate — surface it in the JSON and fail.
@@ -75,6 +77,7 @@ def run_size(n, rho=0.76, temp=1.4737, dt=0.001, steps=400):
         "particle_steps_per_sec": round(rate * n, 0),
         "engine": kind, "finite": ok, "overflow": over,
         "T": round(float(state.temperature), 3),
+        **util,
     }), flush=True)
     assert not over, "cell capacity overflow: rate measured on a truncated system"
 

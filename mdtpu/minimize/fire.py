@@ -80,6 +80,7 @@ def fire_minimize(
             state, params, engine, max_steps=max_steps, tol=tol,
             dt_initial=dt_initial, dt_max=dt_max, alpha0=alpha0,
             f_inc=f_inc, f_dec=f_dec, n_min=n_min, dmax=dmax)
+    caller_engine = engine
     grew = False
     for _ in range(8):
         out = _fire_once(state, params, engine, max_steps=max_steps, tol=tol,
@@ -91,11 +92,18 @@ def fire_minimize(
         if over is None or not bool(over) or grow is None:
             if grew:
                 # The retries ran on an internally-grown engine the caller
-                # never sees: returning its grown-capacity nbrs alongside
-                # the caller's original engine would mismatch shapes (or
-                # silently read the wrong static capacity) at the next
-                # compute/needs_rebuild. Drop them; consumers re-allocate.
-                return (new_state.replace(nbrs=None),) + tuple(out[1:])
+                # never sees: its grown-capacity nbrs would mismatch the
+                # caller's engine's static shapes at the next
+                # compute/needs_rebuild. Re-allocate on the CALLER's engine
+                # so both paths honor the same contract (state.nbrs is live
+                # and matches the engine that was passed in); if the
+                # caller's capacity is genuinely too small for the
+                # minimized configuration, its overflow flag raises at the
+                # next compute — flagged, never silent.
+                nbrs = caller_engine.allocate(
+                    new_state.positions, new_state.diameters,
+                    new_state.unitcell, new_state.unitcell_inv)
+                return (new_state.replace(nbrs=nbrs),) + tuple(out[1:])
             return out
         grew = True
         engine = grow()
@@ -519,7 +527,7 @@ def fire_minimize_sharded(state: SimulationState, params: Parameters,
             params.potential, float(state.cutoff),
             np.asarray(state.unitcell), state.n_particles,
             n_shards=mesh.devices.size,
-            diameters=np.asarray(state.diameters))
+            diameters=np.asarray(state.diameters), workload="minimize")
     velocities0 = state.velocities
     start = state.replace(nbrs=None)
     for _ in range(8):

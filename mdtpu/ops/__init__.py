@@ -23,7 +23,8 @@ _NAIVE_MAX_N = 2048
 
 
 def select_engine(potential, cutoff, state=None, *, unitcell=None,
-                  n_particles=None, skin=0.3, prefer=None):
+                  n_particles=None, skin=0.3, prefer=None,
+                  workload="dynamics"):
     """Pick the best engine for the system.
 
     prefer: None (auto) | "naive" | "neighbor" | "cellgrid".
@@ -31,6 +32,12 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     handles triclinic cells via fractional binning + ghost cell-vector
     shifts); on CPU the (N, K) NeighborListEngine for orthorhombic boxes and
     the cell grid for tilted ones.
+
+    workload: "dynamics" (default) or "minimize" — forwarded to
+    ``CellGridEngine.create_tuned``; minimize-tuned geometry amortizes
+    FIRE's displacement-capped rebin cadence into the padded-lane score
+    (fatter cells, ~2x skin). The public :func:`mdtpu.minimize.minimize`
+    passes "minimize" when it auto-selects.
     """
     from mdtpu.core.box import is_orthorhombic
     from mdtpu.ops.cell_grid import CellGridEngine
@@ -69,7 +76,8 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     if prefer == "cellgrid":
         return CellGridEngine.create_tuned(
             potential, float(cutoff), np.asarray(unitcell), int(n_particles),
-            min_skin=float(skin), max_sigma=max_sigma, diameters=diameters)
+            min_skin=float(skin), max_sigma=max_sigma, diameters=diameters,
+            workload=workload)
 
     if jax.default_backend() == "cpu" and ortho:
         return NeighborListEngine.create(
@@ -80,7 +88,8 @@ def select_engine(potential, cutoff, state=None, *, unitcell=None,
     # 2.5x faster than cutoff-sized cells and ~4x fewer rebuilds.
     return CellGridEngine.create_tuned(
         potential, float(cutoff), np.asarray(unitcell), int(n_particles),
-        min_skin=float(skin), max_sigma=max_sigma, diameters=diameters)
+        min_skin=float(skin), max_sigma=max_sigma, diameters=diameters,
+        workload=workload)
 
 
 def _warn_if_half_box_exceeded(unitcell, cutoff):

@@ -272,6 +272,31 @@ def make_pair_block(potential, own, own_lo, own_diam, diag_bump, cap,
     return pair_block
 
 
+# One gather-formulated rebin costs ~this many lean force sweeps at the
+# dynamics-tuned geometry (probe_fire, 262k LJ: 15.0 ms vs 5.3 ms). Used by
+# the ``workload='minimize'`` tuning profile only — the ratio drifts with
+# size/geometry, but the argmin is flat around it (the lever is skin, which
+# varies ~4x across candidates while the ratio moves the weighting ~±30%).
+_FIRE_REBIN_OVER_SWEEP = 2.8
+
+
+def _workload_cost(sweep_cost, skin, workload, dmax):
+    """Score a candidate geometry for the target workload.
+
+    dynamics: sweep cost alone (thermal rebuild cadence ~25+ steps makes
+    the rebin negligible). minimize: FIRE's displacement cap pins per-
+    iteration motion at ``dmax``, so rebins fire every ``skin/(2 dmax)``
+    iterations; amortize a rebin worth ``_FIRE_REBIN_OVER_SWEEP`` sweeps
+    into the per-iteration cost (rebin cost tracks slot count, which
+    tracks padded sweep cost across candidates to within lane padding)."""
+    if workload == "dynamics":
+        return sweep_cost
+    if workload != "minimize":
+        raise ValueError(f"unknown tuning workload {workload!r}")
+    iters_per_rebin = max(skin, 1e-6) / (2.0 * dmax)
+    return sweep_cost * (1.0 + _FIRE_REBIN_OVER_SWEEP / iters_per_rebin)
+
+
 @struct.dataclass
 class CellGridState:
     addr: jnp.ndarray           # (N,) slot address of each particle: cid*C + rank
@@ -331,7 +356,7 @@ class CellGridEngine:
     @classmethod
     def create_tuned(cls, potential, cutoff, unitcell, n_particles,
                      min_skin=0.3, occ_sigma=2.5, max_sigma=1.0,
-                     diameters=None):
+                     diameters=None, workload="dynamics", dmax=0.1):
         """Pick the (grid, capacity, skin) minimizing padded-lane cost.
 
         The z-window pair blocks are (C, 3C) tiles padded to (ceil8(C),
@@ -342,6 +367,15 @@ class CellGridEngine:
         real pair candidates, cost up to ~2x less padded compute AND rebuild
         ~4x less often (skin = cell - cutoff grows). Enumerates every
         feasible cubic grid and takes the argmin.
+
+        ``workload``: ``"dynamics"`` (default) scores candidates by sweep
+        cost alone — thermal runs rebuild every ~25+ steps, so the rebin
+        amortizes away. ``"minimize"`` scores sweep + amortized rebin:
+        FIRE displacements pin at the ``dmax`` cap (0.1 by default), so a
+        candidate rebins every ``skin / (2 dmax)`` iterations and one rebin
+        costs ~2.8 lean sweeps (probe_fire at 262k: rebin 15.0 ms vs sweep
+        5.3 ms — 30-40% of FIRE wall time at the dynamics-tuned skin).
+        Minimize-tuned geometry trades a fatter sweep for ~2x the skin.
 
         The reference's CellListMap always uses cutoff-sized cells
         (/root/reference/src/initialization.jl:100-107) — correct for
@@ -378,6 +412,9 @@ class CellGridEngine:
             subl = -(-cap // 8) * 8
             lanes = -(-(3 * cap) // 128) * 128
             cost = n_cells * subl * lanes
+            skin_g = min(lengths[k] / grids[k]
+                         for k in range(len(lengths))) - cutoff
+            cost = _workload_cost(cost, skin_g, workload, dmax)
             cands.append((cost, grids, cap))
         best_cost = min(c[0] for c in cands)
         # Near-tie break: the fattest cells (largest skin) — rebuilds are
@@ -404,6 +441,42 @@ class CellGridEngine:
 
     def with_grown_capacity(self):
         return self.replace(cell_capacity=int(self.cell_capacity * 1.4 + 4))
+
+    def padded_lane_stats(self, ms_per_step=None):
+        """Machine-checkable utilization of this geometry (the create_tuned
+        cost model, exported so bench JSONs carry it — BENCH_NOTES
+        'Roofline'): one sweep processes ``n_cells * ceil8(C) * ceil128(3C)
+        * n_blocks`` padded lane-slots, each a pair candidate costing
+        ~``OPS_PER_SLOT`` VPU passes (hand count for the lean unshifted-LJ
+        block: displacement subs, r^2, sigma mixing, reciprocal, sr powers,
+        f_over_r, guard selects, own-force mul+lane-reduce, reaction
+        sublane-reduce ~= 32). ``n_blocks`` is the in-plane Newton half
+        stencil: self + (3^(d-1)-1)/2 shifted blocks.
+
+        Returns a dict with ``padded_lane_slots_per_step``,
+        ``useful_pair_fraction`` (real C x 3C window / its vreg padding),
+        and — when ``ms_per_step`` is given — ``lane_utilization``: the
+        fraction of the v5e VPU's ~3.9e12 f32 ops/s the measured step
+        sustains (the speed-of-light ratio previously hand-derived in
+        BENCH_NOTES)."""
+        OPS_PER_SLOT = 32.0
+        VPU_F32_OPS_PER_SEC = 3.9e12  # TPU v5e, 8 x (8, 128) f32 VPU lanes
+        dim = len(self.grid)
+        cap = self.cell_capacity
+        n_cells = int(np.prod(self.grid))
+        subl = -(-cap // 8) * 8
+        lanes = -(-(3 * cap) // 128) * 128
+        n_blocks = (3 ** (dim - 1) - 1) // 2 + 1
+        slots = n_cells * subl * lanes * n_blocks
+        stats = {
+            "padded_lane_slots_per_step": slots,
+            "useful_pair_fraction": round(cap * 3 * cap / (subl * lanes), 4),
+        }
+        if ms_per_step is not None:
+            sol_ms = slots * OPS_PER_SLOT / VPU_F32_OPS_PER_SEC * 1e3
+            stats["lane_utilization"] = round(sol_ms / ms_per_step, 4)
+            stats["vpu_speed_of_light_ms"] = round(sol_ms, 4)
+        return stats
 
     # ------------------------------------------------------------------ build
     def allocate(self, positions, diameters, cell, cell_inv):

@@ -71,7 +71,8 @@ def run_simulation_sharded(
                                           make_sharded_slot_advance,
                                           unshard_slot_state)
     from mdtpu.sim.driver import (_drive_events, _event_schedule,
-                                  _make_batch_advance, prepare_output_files)
+                                  _frame_capacity, _make_batch_advance,
+                                  prepare_output_files)
 
     if mesh is None:
         mesh = make_mesh(n_devices)
@@ -151,7 +152,7 @@ def run_simulation_sharded(
             make_sharded_slot_advance(params, ensemble, engine, mesh,
                                       spec_state, compensated=compensated,
                                       hilo=hilo),
-            True, is_brownian, n)
+            True, is_brownian, n, dim, _frame_capacity(n, dim))
         if key is not None:
             _SHARDED_ADVANCE_CACHE[key] = fn
         return fn

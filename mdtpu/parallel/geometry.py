@@ -10,7 +10,8 @@ import numpy as np
 
 
 def tuned_sharded_geometry(cutoff, unitcell, n_particles, n_shards,
-                           min_skin=0.3, occ_sigma=2.5):
+                           min_skin=0.3, occ_sigma=2.5,
+                           workload="dynamics", dmax=0.1):
     """Padded-lane-optimal sharded cell geometry (dimension-generic).
 
     The same cost model as ``CellGridEngine.create_tuned`` — pair blocks
@@ -19,7 +20,11 @@ def tuned_sharded_geometry(cutoff, unitcell, n_particles, n_shards,
     constrained to a multiple of ``n_shards`` so every device owns an
     equal x-plane slab. Works for 2D and 3D boxes (the x-slab domain
     decomposition is dimension-generic; only the window axis differs).
+    ``workload='minimize'`` amortizes FIRE's rebin cadence into the score
+    exactly like the single-chip tuner (see ``_workload_cost``).
     Returns ``(grid, cell_capacity, skin)``."""
+    from mdtpu.ops.cell_grid import _workload_cost
+
     u = np.asarray(unitcell, np.float64)
     dim = u.shape[0]
     lengths = [float(np.linalg.norm(u[:, k])) for k in range(dim)]
@@ -40,7 +45,9 @@ def tuned_sharded_geometry(cutoff, unitcell, n_particles, n_shards,
         cap = int(math.ceil(mean + occ_sigma * math.sqrt(mean) + 2))
         subl = -(-cap // 8) * 8
         lanes = -(-(3 * cap) // 128) * 128
-        cands.append((n_cells * subl * lanes, grids, cap))
+        skin_g = min(lengths[k] / grids[k] for k in range(dim)) - cutoff
+        cost = _workload_cost(n_cells * subl * lanes, skin_g, workload, dmax)
+        cands.append((cost, grids, cap))
     best_cost = min(c[0] for c in cands)
     _, grids, cap = min((c for c in cands if c[0] <= 1.05 * best_cost),
                         key=lambda c: c[1][0])

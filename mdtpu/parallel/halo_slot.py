@@ -104,7 +104,7 @@ class HaloSlotEngine:
     @classmethod
     def create_tuned(cls, potential, cutoff, unitcell, n_particles, n_shards,
                      min_skin=0.3, occ_sigma=2.5, axis_name=SHARD_AXIS,
-                     max_sigma=1.0, diameters=None):
+                     max_sigma=1.0, diameters=None, workload="dynamics"):
         """Padded-lane-optimal geometry (same cost model as the single-chip
         ``CellGridEngine.create_tuned``; nx constrained to a multiple of
         ``n_shards``). Dimension-generic: 2D boxes shard over x-slabs with
@@ -119,7 +119,7 @@ class HaloSlotEngine:
         check_engine_cutoff(potential, cutoff, max_sigma)
         grid, cap, skin = tuned_sharded_geometry(
             cutoff, unitcell, n_particles, n_shards,
-            min_skin=min_skin, occ_sigma=occ_sigma)
+            min_skin=min_skin, occ_sigma=occ_sigma, workload=workload)
         # Migration buffer: boundary-layer population ~ n_loc * skin/slab;
         # 25% of a slab is a generous fixed bound, lane-aligned.
         K = max(128, -(-int(n_particles / n_shards * 0.25) // 128) * 128)
@@ -409,10 +409,18 @@ class HaloSlotEngine:
                       for w, g in zip(win_lo, ghosts_lo)]
 
         if self.plane_scan and dim == 3:
+            # Pass the local window planes and the ppermuted ghost plane
+            # SEPARATELY (never concatenated): the scan over interior
+            # planes then depends only on local data, so XLA's async
+            # collective-permute can run under it; only the final plane
+            # (unrolled after the scan) consumes the ghost.
             energy, virial, f_grid, ghost_react = self._scan_sweep_local(
-                grids, grids_lo if hilo else None, ext,
-                ext_lo if hilo else None, diam, ext_diam, uni, cell,
-                observables)
+                grids, grids_lo if hilo else None, win,
+                win_lo if hilo else None,
+                [g[0] for g in ghosts],
+                [g[0] for g in ghosts_lo] if hilo else None,
+                diam, win_diam,
+                None if uni else recv[-1], uni, cell, observables)
         else:
             energy, virial, f_grid, ghost_react = self._dense_sweep_local(
                 grids, grids_lo if hilo else None, win, win_lo, ext,
@@ -519,21 +527,27 @@ class HaloSlotEngine:
         ghost_react = jnp.stack([react_ext[k][mx] for k in range(dim)])
         return energy, virial, f_grid, ghost_react
 
-    def _scan_sweep_local(self, grids, grids_lo, ext, ext_lo, diam,
-                          ext_diam, uni, cell, observables):
+    def _scan_sweep_local(self, grids, grids_lo, win, win_lo, ghost,
+                          ghost_lo, diam, win_diam, ghost_diam, uni, cell,
+                          observables):
         """Memory-bounded sharded sweep: ``lax.scan`` over the LOCAL
         x-planes, carrying the +x reaction plane (the sharded analog of
         ``CellGridEngine._zwindow_sweep_scan`` — same per-plane math, same
         reduction structure). Plane i's half stencil reads window planes i
-        and i+1 of ``ext`` (mx+1 planes; plane mx is the ppermuted ghost,
-        image-shifted at receive time, so NO wrap branch exists here —
-        contrast the single-chip scan's periodic wrap). The carry after the
-        last local plane is exactly the ghost-plane reaction payload the
-        dense sweep accumulates in ``react_ext[mx]``. Intermediates shrink
-        by a factor mx: per-shard dense tiles of (n_cells_loc, C, 3C) would
-        exhaust HBM at >=1M particles per shard (the regime multi-chip
-        exists for). Returns the same (energy, virial, f_grid, ghost_react)
-        contract as :meth:`_dense_sweep_local`."""
+        and i+1; the LAST local plane's +x stencil reads the ppermuted
+        ghost (image-shifted at receive time, so NO wrap branch exists
+        here — contrast the single-chip scan's periodic wrap) and is
+        UNROLLED AFTER the scan: the scan body then depends only on local
+        data, so on real hardware XLA's async collective-permute can run
+        under the interior-plane compute instead of gating the whole sweep
+        (the plane payload is ~25-60 us of ICI time vs ms of sweep). The
+        final plane's reaction output is exactly the ghost-plane reaction
+        payload the dense sweep accumulates in ``react_ext[mx]``.
+        Intermediates shrink by a factor mx: per-shard dense tiles of
+        (n_cells_loc, C, 3C) would exhaust HBM at >=1M particles per shard
+        (the regime multi-chip exists for). Returns the same (energy,
+        virial, f_grid, ghost_react) contract as
+        :meth:`_dense_sweep_local`."""
         dim = len(grids)
         dtype = grids[0].dtype
         cap = self.cell_capacity
@@ -543,10 +557,10 @@ class HaloSlotEngine:
         hilo = grids_lo is not None
 
         grids_s = jnp.stack(grids)                  # (d, mx, nmid, nwin, C)
-        ext_s = jnp.stack(ext)                      # (d, mx+1, nmid, nwin, 3C)
+        win_s = jnp.stack(win)                      # (d, mx, nmid, nwin, 3C)
         if hilo:
             lo_s = jnp.stack(grids_lo)
-            ext_lo_s = jnp.stack(ext_lo)
+            win_lo_s = jnp.stack(win_lo)
         diag_bump = self_pair_diag_bump(cap, dtype)
 
         def yshift(w, oy, gy):
@@ -565,26 +579,12 @@ class HaloSlotEngine:
         def at_plane(a, i):
             return jax.lax.dynamic_index_in_dim(a, i, 0, False)
 
-        def body(carry, i):
-            energy, virial, react_in = carry
-            own = [at_plane(grids_s[k], i).reshape(m, cap, 1)
-                   for k in range(dim)]
-            wp = [at_plane(ext_s[k], i) for k in range(dim)]
-            wp1 = [at_plane(ext_s[k], i + 1) for k in range(dim)]
-            if uni:                          # uniform sigma: scalar constant
-                own_d = wd = wd1 = ext_diam
-            else:
-                own_d = at_plane(diam, i).reshape(m, cap, 1)
-                wd = at_plane(ext_diam, i)
-                wd1 = at_plane(ext_diam, i + 1)
-            if hilo:
-                own_lo = [at_plane(lo_s[k], i).reshape(m, cap, 1)
-                          for k in range(dim)]
-                wp_lo = [at_plane(ext_lo_s[k], i) for k in range(dim)]
-                wp1_lo = [at_plane(ext_lo_s[k], i + 1) for k in range(dim)]
-            else:
-                own_lo = wp_lo = wp1_lo = None
-
+        def plane_compute(energy, virial, own, own_lo, own_d, wp, wp_lo, wd,
+                          wp1, wp1_lo, wd1):
+            """One plane's half-stencil pair work (shared by the scanned
+            interior planes and the unrolled ghost-facing final plane).
+            Returns (energy, virial, f_own (d, m, C), react_out (d, nmid,
+            nwin, C) — the reaction into plane +1, NOT yet applied)."""
             block = make_pair_block(self.potential, own, own_lo, own_d,
                                     diag_bump, cap, observables)
 
@@ -608,7 +608,7 @@ class HaloSlotEngine:
                 else:
                     wc = [yshift(src[k], oy, cell[k, 1]) for k in range(dim)]
                     wc_lo = None
-                wdd = ext_diam if uni else yshift(srcd, oy, None)
+                wdd = srcd if uni else yshift(srcd, oy, None)
                 u, f, r2s, dcs = block(wc, wdd, False, wc_lo=wc_lo)
                 if observables:
                     energy = energy + jnp.sum(u)
@@ -621,14 +621,52 @@ class HaloSlotEngine:
                         react_out = react_out.at[k].add(r)
                     else:
                         f_own = f_own.at[k].add(r.reshape(m, cap))
+            return energy, virial, f_own, react_out
 
+        def plane_inputs(i, at=at_plane):
+            own = [at(grids_s[k], i).reshape(m, cap, 1) for k in range(dim)]
+            wp = [at(win_s[k], i) for k in range(dim)]
+            if uni:                          # uniform sigma: scalar constant
+                own_d = wd = win_diam
+            else:
+                own_d = at(diam, i).reshape(m, cap, 1)
+                wd = at(win_diam, i)
+            if hilo:
+                own_lo = [at(lo_s[k], i).reshape(m, cap, 1)
+                          for k in range(dim)]
+                wp_lo = [at(win_lo_s[k], i) for k in range(dim)]
+            else:
+                own_lo = wp_lo = None
+            return own, own_lo, own_d, wp, wp_lo, wd
+
+        def body(carry, i):
+            energy, virial, react_in = carry
+            own, own_lo, own_d, wp, wp_lo, wd = plane_inputs(i)
+            wp1 = [at_plane(win_s[k], i + 1) for k in range(dim)]
+            wd1 = win_diam if uni else at_plane(win_diam, i + 1)
+            wp1_lo = ([at_plane(win_lo_s[k], i + 1) for k in range(dim)]
+                      if hilo else None)
+            energy, virial, f_own, react_out = plane_compute(
+                energy, virial, own, own_lo, own_d, wp, wp_lo, wd,
+                wp1, wp1_lo, wd1)
             f_out = f_own + react_in.reshape(dim, m, cap)
             return (energy, virial, react_out), f_out
 
         zero = jnp.zeros((), dtype)
-        (energy, virial, ghost_react), f_planes = jax.lax.scan(
+        (energy, virial, react_last), f_planes = jax.lax.scan(
             body, (zero, zero, jnp.zeros((dim, nmid, nwin, cap), dtype)),
-            jnp.arange(mx))
+            jnp.arange(mx - 1))
+
+        # Final local plane: +x stencil against the ppermuted ghost — the
+        # ONLY consumer of the halo exchange.
+        own, own_lo, own_d, wp, wp_lo, wd = plane_inputs(
+            mx - 1, at=lambda a, i: a[i])
+        energy, virial, f_own, ghost_react = plane_compute(
+            energy, virial, own, own_lo, own_d, wp, wp_lo, wd,
+            ghost, ghost_lo, win_diam if uni else ghost_diam)
+        f_last = f_own + react_last.reshape(dim, m, cap)
+
+        f_planes = jnp.concatenate([f_planes, f_last[None]], axis=0)
         # (mx, d, m, C) -> per-component (mx, nmid, nwin, C)
         f_grid = [f_planes[:, k].reshape(mx, nmid, nwin, cap)
                   for k in range(dim)]

@@ -239,14 +239,17 @@ def _pack_output_rows(state, use_slot, n):
     the row payload itself is the cost floor at trajectory cadence (~19 MB/s
     tunnel bandwidth, BENCH_NOTES), so it is kept minimal:
 
-      * slot states are COMPACTED on device first (one packed gather of the
-        ``n`` occupied slots out of the ~1.6x-padded slot space — same
-        packed-rows trick as the rebin, ~µs vs the ~100 ms it saves on the
-        wire), and
+      * slot states are ORDERED on device: one key sort of the carried ids
+        (vacant slots keyed past every real id) yields the slot index of
+        particle 0..n-1 directly, and one packed gather compacts + orders
+        the rows — so the ids themselves never ride the wire (2 of the
+        former 8 rows, −25% payload) and the host does no per-frame argsort.
+        States whose ids are not 0..n-1 (artificial test states) come back
+        in id-RANK order — the driver's states always carry arange ids.
+        Particle loss is caught by the scalar-vector occupied count before
+        any row is consumed;
       * run-constant per-particle data never rides along: diameters are kept
-        by the driver host-side in original particle order, and occupancy is
-        implied (exactly the n gathered rows; particle loss is caught by the
-        scalar-vector count before any row is consumed).
+        by the driver host-side in original particle order.
 
     Rows always travel as f32 regardless of the state dtype: the text
     writers print ``%.6f`` (6 decimals), which f32 coordinates satisfy at
@@ -255,41 +258,31 @@ def _pack_output_rows(state, use_slot, n):
     IS the throughput floor — measured +70% driver steps/s decoupled,
     BENCH_NOTES). The on-device cast is free; checkpoints (full-precision
     npz of the whole state) are unaffected. Images are integer-exact in
-    f32 (< 2^24 crossings); ids ride as two exact hi/lo rows (same
-    encoding as mdtpu.integrate.slot_step.pack_state_rows). The unitcell
-    is constant for a run and pulled once by the driver, not per event."""
-    from mdtpu.integrate.slot_step import split_id_rows
-
+    f32 (< 2^24 crossings). The unitcell is constant for a run and pulled
+    once by the driver, not per event. Both layouts return the SAME
+    (2·dim, n) particle-ordered array."""
     dt = jnp.float32
     if use_slot:
-        (idx,) = jnp.nonzero(state.nbrs.occupied, size=n,
-                             fill_value=state.nbrs.occupied.shape[0] - 1)
-        id_rows = split_id_rows(state.ids, dt)
+        s = state.ids.shape[0]
+        key = jnp.where(state.ids < 0, jnp.iinfo(jnp.int32).max, state.ids)
+        _, perm = jax.lax.sort((key, jnp.arange(s, dtype=jnp.int32)),
+                               num_keys=1, is_stable=False)
         rows = jnp.concatenate([
             state.positions.astype(dt),             # (d, S)
             state.images.astype(dt),                # (d, S)
-        ] + id_rows, axis=0)
-        return jnp.take(rows, idx, axis=1)          # (2d+2, n)
+        ], axis=0)
+        return jnp.take(rows, perm[:n], axis=1)     # (2d, n), particle order
     return jnp.concatenate([
         state.positions.astype(dt).T,               # (d, N)
         state.images.astype(dt).T,                  # (d, N)
     ], axis=0)
 
 
-def _unpack_output_rows(rows_dev, dim, use_slot):
-    from mdtpu.integrate.slot_step import join_id_rows
-
-    rows = np.asarray(rows_dev)  # the ONE row transfer of the event
-    if use_slot:
-        # flush() consumes slot rows component-major (compacted, unordered).
-        if rows.shape[0] == 2 * dim + 2:            # f32 hi/lo id rows
-            ids = join_id_rows(rows[2 * dim], rows[2 * dim + 1],
-                               out_dtype=np.int64)
-        else:
-            ids = join_id_rows(rows[2 * dim], out_dtype=np.int64)
-        return {"positions": rows[0:dim],
-                "images": rows[dim:2 * dim].astype(np.int32),
-                "ids": ids}
+def _unpack_output_rows(rows):
+    """Host view of one packed frame (both layouts arrive particle-ordered
+    component-major, see :func:`_pack_output_rows`)."""
+    rows = np.asarray(rows)
+    dim = rows.shape[0] // 2
     return {"positions": rows[0:dim].T,
             "images": rows[dim:2 * dim].T.astype(np.int32)}
 
@@ -303,6 +296,21 @@ def _unpack_output_rows(rows_dev, dim, use_slot):
 # compile; zero-length pad segments are no-ops (advance(s, 0) == s).
 _BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
+# Device frame buffer budget: trajectory/snapshot events no longer close a
+# batch — up to k_frames events' packed rows accumulate in a device ring
+# buffer written inside the scanned batch, pulled in ONE transfer at the
+# batch boundary (round-4 measured the coupled thermo+traj cadence at 340
+# steps/s vs 1,141 raw: every frame event paid its own RPC + transfer).
+# The budget caps the buffer so a 1M-particle run (25 MB/frame) degrades
+# gracefully to one frame per batch (the round-4 behavior).
+_FRAME_BUFFER_BYTES = 48 * 2 ** 20
+
+
+def _frame_capacity(n, dim):
+    frame_bytes = 2 * dim * n * 4  # (2d, n) f32
+    return int(max(1, min(_BATCH_BUCKETS[-1],
+                          _FRAME_BUFFER_BYTES // frame_bytes)))
+
 
 def _bucket(k):
     for b in _BATCH_BUCKETS:
@@ -311,16 +319,36 @@ def _bucket(k):
     return _BATCH_BUCKETS[-1]
 
 
-def _make_batch_advance(adv, use_slot, is_brownian, n):
-    """advance_batch(state, lengths (B,), thermo_flags (B,)) ->
-    (state, per-event scalar vectors (B, 8), packed output rows)."""
+def _make_batch_advance(adv, use_slot, is_brownian, n, dim, k_frames):
+    """advance_batch(state, lengths (B,), thermo_flags (B,), row_flags (B,))
+    -> (state, per-event scalar vectors (B, 8), packed output rows).
+
+    ``k_frames == 1`` (classic mode): row events close their batch, so only
+    the FINAL state needs rows — packed once after the scan ((2d, n)).
+    ``k_frames > 1`` (stack mode): each row event's rows are packed inside
+    the scan and written at the carried frame cursor into a FLAT
+    (k_frames·2d, n) device buffer via ``dynamic_update_slice`` (a slice
+    store, cheap — unlike index scatters; flat so the wire sees one
+    contiguous 2-D array and the caller can pull just the filled prefix);
+    the whole stack travels in ONE transfer. Non-row events skip the pack
+    under a ``lax.cond`` whose predicate comes from the scan xs (uniform
+    across devices, so GSPMD-legal for the sharded driver too)."""
 
     @jax.jit
-    def advance_batch(state, lengths, thermo_flags):
-        def body(s, xs):
-            n_k, is_thermo = xs
+    def advance_batch(state, lengths, thermo_flags, row_flags):
+        def body(carry, xs):
+            s, buf, j = carry
+            n_k, is_thermo, is_row = xs
             s = adv(s, n_k)
             vec = _event_scalars(s)
+            if k_frames > 1:
+                def put(b):
+                    rows = _pack_output_rows(s, use_slot, n)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        b, rows, j * (2 * dim), axis=0)
+
+                buf = jax.lax.cond(is_row != 0, put, lambda b: b, buf)
+                j = j + is_row
             if is_brownian and s.virial_accum is not None:
                 # Reset the virial accumulators after each thermo event
                 # (/root/reference/src/simulation.jl:266) on device — the
@@ -330,10 +358,16 @@ def _make_batch_advance(adv, use_slot, is_brownian, n):
                     virial_accum=jnp.where(keep, s.virial_accum, 0),
                     nprom=jnp.where(keep, s.nprom, 0),
                 )
-            return s, vec
+            return (s, buf, j), vec
 
-        state, vecs = jax.lax.scan(body, state, (lengths, thermo_flags))
-        return state, vecs, _pack_output_rows(state, use_slot, n)
+        buf0 = (jnp.zeros((k_frames * 2 * dim, n), jnp.float32)
+                if k_frames > 1 else jnp.zeros((0,), jnp.float32))
+        (state, buf, _), vecs = jax.lax.scan(
+            body, (state, buf0, jnp.int32(0)),
+            (lengths, thermo_flags, row_flags))
+        if k_frames == 1:
+            buf = _pack_output_rows(state, use_slot, n)
+        return state, vecs, buf
 
     return advance_batch
 
@@ -434,6 +468,7 @@ def _drive_events(state, engine, advance, *,
 
     Returns ``(state, engine, advance)``; the caller finalizes."""
     unitcell_np = np.asarray(state.unitcell)  # constant for the run
+    k_frames = _frame_capacity(n, dim)
 
     row_steps = traj_steps | snap_set
     # Checkpoints are their OWN events (batch boundaries), not a filter on
@@ -449,22 +484,27 @@ def _drive_events(state, engine, advance, *,
         s for s in (thermo_steps | traj_steps | snap_set | checkpoint_steps)
         if s >= start_step and s < end_step)
 
-    # Group events into batches: consecutive scalar-only (thermo) events are
-    # served by ONE advance_batch call + ONE small transfer for the whole
-    # group (each call/transfer pays the tunnel's per-RPC floor). A batch
-    # closes at any event needing particle rows (trajectory/snapshot), at a
-    # checkpoint event (its exact state must be materialized), or at the
-    # bucket cap.
+    # Group events into batches: consecutive events are served by ONE
+    # advance_batch call + ONE small scalar transfer for the whole group
+    # (each call/transfer pays the tunnel's per-RPC floor). Row events
+    # (trajectory/snapshot) accumulate their packed frames in the device
+    # buffer and are pulled together at the batch boundary; a batch closes
+    # when the frame buffer is full, at a checkpoint event (its exact state
+    # must be materialized), or at the bucket cap.
     batches = []  # list of [(event_step, n_steps_to_advance), ...]
     cur = []
+    cur_frames = 0
     prev = start_step
     for ev in event_steps:
         cur.append((ev, ev - prev + 1))
         prev = ev + 1
-        if (ev in row_steps or ev in checkpoint_steps
+        if ev in row_steps:
+            cur_frames += 1
+        if (cur_frames == k_frames or ev in checkpoint_steps
                 or len(cur) == _BATCH_BUCKETS[-1]):
             batches.append(cur)
             cur = []
+            cur_frames = 0
     if cur:
         batches.append(cur)
     if prev < end_step:
@@ -482,22 +522,12 @@ def _drive_events(state, engine, advance, *,
             dev = dict(dev)
             dev["diameters"] = diameters_np  # run-constant, never transferred
         if use_slot and has_rows:
-            # Restore original particle order (rows arrive device-compacted,
-            # unordered) and fold the deferred-wrap residual drift for
-            # in-box output rows.
+            # Rows arrive particle-ordered from the device (id-sorted
+            # gather in _pack_output_rows); only the deferred-wrap residual
+            # drift is folded here. Particle loss was already caught by the
+            # scalar-vector occupied count before any row was consumed.
             from mdtpu.integrate.slot_step import _host_wrap
 
-            ids = np.asarray(dev["ids"])
-            if (ids < 0).any():
-                # Backstop: the scalar-vector occupied count + restore-and-
-                # rerun should make this unreachable; losing rows silently
-                # corrupts the physics.
-                raise RuntimeError(
-                    f"slot output rows at step {s} contain vacant slots — "
-                    f"capacity overflow recovery failed")
-            order = np.argsort(ids)
-            for name in ("positions", "images"):
-                dev[name] = np.asarray(dev[name]).T[order]
             dev["positions"], dev["images"] = _host_wrap(
                 dev["positions"], dev["images"], unitcell_np)
         ener, t, pressure = _thermo_values(
@@ -516,14 +546,15 @@ def _drive_events(state, engine, advance, *,
                                unitcell_np, dev["positions"], dev["images"],
                                dev["diameters"], mode="w")
 
-    def _dev_args(lengths, flags):
+    def _dev_args(lengths, flags, row_flags):
         # Batch argument device arrays, cached across runs: passing fresh
-        # numpy arrays to a jitted call device_puts them — two more RPC
-        # round trips per batch. The handful of distinct (lengths, flags)
-        # patterns transfer once per process.
-        key = (tuple(lengths), tuple(flags))
+        # numpy arrays to a jitted call device_puts them — more RPC round
+        # trips per batch. The handful of distinct patterns transfer once
+        # per process.
+        key = (tuple(lengths), tuple(flags), tuple(row_flags))
         if key not in _DEV_ARGS_CACHE:
-            _DEV_ARGS_CACHE[key] = (jnp.asarray(lengths), jnp.asarray(flags))
+            _DEV_ARGS_CACHE[key] = (jnp.asarray(lengths), jnp.asarray(flags),
+                                    jnp.asarray(row_flags))
         return _DEV_ARGS_CACHE[key]
 
     def run_batch(state, engine, advance, batch, on_dispatched=None):
@@ -553,15 +584,17 @@ def _drive_events(state, engine, advance, *,
         B = K if getattr(engine, "rebin_unconditional", False) else _bucket(K)
         lengths = np.zeros(B, np.int32)
         flags = np.zeros(B, np.int32)
+        row_flags = np.zeros(B, np.int32)
         for i, (ev, n_adv) in enumerate(batch):
             lengths[i] = n_adv
             flags[i] = 1 if ev in thermo_steps else 0
+            row_flags[i] = 1 if ev in row_steps else 0
         last_ev = batch[-1][0]
-        want_rows = last_ev in row_steps
-        d_len, d_flags = _dev_args(lengths, flags)
+        want_rows = bool(row_flags.any())
+        d_len, d_flags, d_rows = _dev_args(lengths, flags, row_flags)
 
         seg_start = state
-        state, vecs_dev, rows_dev = advance(state, d_len, d_flags)
+        state, vecs_dev, rows_dev = advance(state, d_len, d_flags, d_rows)
         if on_dispatched is not None:
             # File writes of the previous batch overlap this batch's device
             # execution (the dispatch above is async; the np.asarray below
@@ -600,7 +633,8 @@ def _drive_events(state, engine, advance, *,
                 if restored is None:
                     continue  # initial binning still too tight: grow again
                 advance = build_advance(engine)
-                state, vecs_dev, rows_dev = advance(restored, d_len, d_flags)
+                state, vecs_dev, rows_dev = advance(restored, d_len, d_flags,
+                                                    d_rows)
                 vecs = np.asarray(vecs_dev)
                 if not bool(vecs[:K, 5].any()):
                     break
@@ -624,8 +658,22 @@ def _drive_events(state, engine, advance, *,
                 "virial": vecs[i, 2], "virial_accum": vecs[i, 3],
                 "nprom": vecs[i, 4]}))
         if want_rows:
-            outputs[-1][1].update(
-                _unpack_output_rows(rows_dev, dim, use_slot))
+            # ONE transfer for the whole frame stack (classic mode: the
+            # single final-state frame). When the batch holds fewer real
+            # frames than the buffer's capacity (sparse-traj cadences close
+            # batches at the bucket cap, not at a full buffer), slice the
+            # filled prefix ON DEVICE first — one extra async dispatch
+            # buys skipping the unfilled frames' bytes on the wire.
+            n_real = int(row_flags.sum())
+            rpf = 2 * dim  # rows per frame
+            if rows_dev.shape[0] > n_real * rpf:
+                rows_dev = rows_dev[:n_real * rpf]
+            frames = np.asarray(rows_dev).reshape(n_real, rpf, -1)
+            fi = 0
+            for i, (ev, _) in enumerate(batch):
+                if row_flags[i]:
+                    outputs[i][1].update(_unpack_output_rows(frames[fi]))
+                    fi += 1
         return state, engine, advance, outputs
 
     meter = None
@@ -818,10 +866,10 @@ def run_simulation(
         pathname, traj_name, thermo_name, int(state.step), compress)
 
     def build_advance(engine):
-        # n is part of the key: _pack_output_rows bakes jnp.nonzero(size=n)
-        # into the program, so reusing it across particle counts (same
-        # tuned engine geometry for nearby N) would truncate or pad the
-        # output rows.
+        # n is part of the key: _pack_output_rows bakes the n-row ordered
+        # gather into the program, so reusing it across particle counts
+        # (same tuned engine geometry for nearby N) would truncate or pad
+        # the output rows.
         key = (params, ensemble, engine, compensated, hilo, use_slot,
                is_brownian, n)
         try:
@@ -830,18 +878,19 @@ def run_simulation(
             key, cached = None, None
         if cached is not None:
             return cached
+        k_frames = _frame_capacity(n, dim)
         if use_slot:
             from mdtpu.integrate.slot_step import make_slot_advance
 
             fn = _make_batch_advance(
                 make_slot_advance(params, ensemble, engine,
                                   compensated=compensated, hilo=hilo),
-                True, is_brownian, n)
+                True, is_brownian, n, dim, k_frames)
         else:
             step_fn = make_step(params, ensemble, engine,
                                 compensated=compensated)
             fn = _make_batch_advance(_make_fori_advance(step_fn), False,
-                                     is_brownian, n)
+                                     is_brownian, n, dim, k_frames)
         if key is not None:
             _ADVANCE_CACHE[key] = fn
         return fn

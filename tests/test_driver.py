@@ -523,13 +523,13 @@ def test_driver_slot_log_times_and_compress(tmp_path):
 
 
 def test_pack_output_rows_roundtrip_slot():
-    """The trajectory-event row transfer compacts the padded slot state on
-    device to exactly the n occupied rows (one packed gather; run-constant
-    diameters never ride along). Pinned here: every particle id appears
-    exactly once, and the id-ordered rows reproduce the unslotified state
+    """The trajectory-event row transfer compacts AND particle-orders the
+    padded slot state on device (one id-key sort + one packed gather; ids
+    and run-constant diameters never ride the wire). Pinned here: the
+    device-ordered rows reproduce the unslotified particle-order state
     bit-for-bit."""
     from mdtpu.integrate.slot_step import (_host_wrap, slot_forces, slotify,
-                                           unslotify_arrays)
+                                           unslotify_state)
     from mdtpu.ops.cell_grid import CellGridEngine
     from mdtpu.sim.driver import _pack_output_rows, _unpack_output_rows
 
@@ -544,17 +544,15 @@ def test_pack_output_rows_roundtrip_slot():
     assert sl.positions.shape[1] > n  # padded slot space
 
     rows = jax.jit(lambda s: _pack_output_rows(s, True, n))(sl)
-    assert rows.shape == (2 * 3 + 2, n)  # f32: ids ride as hi/lo rows
-    dev = _unpack_output_rows(rows, 3, True)
+    assert rows.shape == (2 * 3, n)  # no id rows: ordered on device
+    dev = _unpack_output_rows(rows)
 
-    ids = dev["ids"]
-    assert sorted(ids.tolist()) == list(range(n))  # each id exactly once
     # The packed rows are unwrapped (deferred wrap); fold like the driver
-    # does, then compare in slot order (nonzero-gather order == mask order).
-    pos, img = _host_wrap(dev["positions"].T, dev["images"].T, sl.unitcell)
-    pos_ref, _, _, img_ref = unslotify_arrays(sl)
-    np.testing.assert_array_equal(pos, pos_ref)
-    np.testing.assert_array_equal(img, img_ref)
+    # does, then compare against the particle-order unslotified state.
+    pos, img = _host_wrap(dev["positions"], dev["images"], sl.unitcell)
+    ref = unslotify_state(sl)
+    np.testing.assert_array_equal(pos, np.asarray(ref.positions))
+    np.testing.assert_array_equal(img, np.asarray(ref.images))
 
 
 def test_resume_into_same_pathname_appends(small_system):
@@ -738,7 +736,7 @@ def test_output_rows_travel_as_f32(small_system):
 
     rows = _pack_output_rows(state, False, n)
     assert rows.dtype == jnp.float32
-    out = _unpack_output_rows(rows, 3, False)
+    out = _unpack_output_rows(rows)
     np.testing.assert_allclose(out["positions"],
                                np.asarray(state.positions), atol=1e-5)
     np.testing.assert_array_equal(out["images"], np.asarray(state.images))
@@ -748,9 +746,7 @@ def test_output_rows_travel_as_f32(small_system):
     st = slot_forces(slotify(state, eng), eng)
     rows = _pack_output_rows(st, True, n)
     assert rows.dtype == jnp.float32
-    assert rows.shape == (2 * 3 + 2, n)  # ids as two exact hi/lo f32 rows
-    out = _unpack_output_rows(rows, 3, True)
-    order = np.argsort(out["ids"])
-    np.testing.assert_array_equal(out["ids"][order], np.arange(n))
-    np.testing.assert_allclose(out["positions"].T[order],
+    assert rows.shape == (2 * 3, n)  # particle-ordered on device, no ids
+    out = _unpack_output_rows(rows)
+    np.testing.assert_allclose(out["positions"],
                                np.asarray(state.positions), atol=1e-5)

@@ -99,16 +99,22 @@ def test_packed_resort_rides_big_ids_f32():
 
 
 def test_output_rows_ride_big_ids_f32():
+    """Device-ordered output rows (id-key sort, _pack_output_rows) stay
+    correct when ids exceed 2^24: the ordering key is the int32 id itself
+    (never an f32 row), so id-RANK order holds at any id magnitude."""
     from mdtpu.sim.driver import _pack_output_rows, _unpack_output_rows
 
     sl, eng = _slot_state(n=400, dtype=jnp.float32)
     big = jnp.where(sl.ids >= 0, sl.ids + (2 ** 25 + 3), -1)
     sl = sl.replace(ids=big)
     rows = _pack_output_rows(sl, True, 400)
-    out = _unpack_output_rows(rows, 3, True)
-    np.testing.assert_array_equal(np.sort(out["ids"]),
-                                  np.sort(np.asarray(big)[np.asarray(
-                                      sl.nbrs.occupied)]))
+    out = _unpack_output_rows(rows)
+    # Rows come back ordered by id rank: row k is the particle with the
+    # k-th smallest id.
+    occ = np.asarray(sl.nbrs.occupied)
+    order = np.argsort(np.asarray(big)[occ])
+    want = np.asarray(sl.positions).T[occ][order].astype(np.float32)
+    np.testing.assert_array_equal(out["positions"], want)
 
 
 def test_slotify_guard_at_far_ramp_budget():

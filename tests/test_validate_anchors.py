@@ -44,3 +44,27 @@ def test_block_sem_iid_limit():
     sem = validate.block_sem(x, nblocks=10)
     # IID: block SEM ~ sigma/sqrt(n) = 0.01 (within a factor ~2 at 10 blocks)
     assert 0.003 < sem < 0.03
+
+
+def test_fit_b2_b3_recovers_known_coefficients():
+    """The SEM-weighted isotherm fit (validate.point_b2_isotherm's oracle)
+    recovers exact virial coefficients from synthetic Z(rho) data."""
+    b2, b3 = -0.6276, 1.7
+    rhos = np.array([0.02, 0.05, 0.08])
+    z = 1.0 + b2 * rhos + b3 * rhos ** 2
+    b2_fit, b3_fit, err = validate.fit_b2_b3(rhos, z, [1e-4, 1e-4, 1e-4])
+    np.testing.assert_allclose(b2_fit, b2, atol=1e-9)
+    np.testing.assert_allclose(b3_fit, b3, atol=1e-6)
+    assert 0 < err < 1e-2
+
+
+def test_fit_b2_b3_weighting_prefers_tight_points():
+    """A noisy point with a huge SEM must not drag the fit: weight it out
+    and the clean two points (+pinned intercept) determine the line."""
+    b2, b3 = -0.6276, 1.7
+    rhos = np.array([0.02, 0.05, 0.08])
+    z = 1.0 + b2 * rhos + b3 * rhos ** 2
+    z_bad = z.copy()
+    z_bad[1] += 0.05  # corrupted midpoint
+    b2_fit, _, _ = validate.fit_b2_b3(rhos, z_bad, [1e-5, 1.0, 1e-5])
+    np.testing.assert_allclose(b2_fit, b2, atol=1e-3)

@@ -25,11 +25,26 @@ pointed at):
    The O(rho^2) truncation is budgeted with |B3| <= 3 (generous over the
    published |B3(2.0)| ~ 1.7).
 
-3. **Structure plausibility** — the classic near-triple-point liquid
+3. **Exact isotherm anchor** — three dilute densities (rho* = 0.02 /
+   0.05 / 0.08) on the T* = 2.0 isotherm; the SEM-weighted quadratic fit
+   Z - 1 = b2 rho + b3 rho^2 (intercept pinned at the exact ideal-gas
+   limit) must reproduce the Mayer-quadrature B2 within the fit error.
+   Unlike point 2, the B3 term is FITTED out rather than budgeted, so the
+   comparison is pure B2 — a second anchor whose expected value derives
+   from exact statistical mechanics pinned to published constants (the
+   Boyle temperature + B2*(T*=1)), with zero transcription of state-point
+   tables (VERDICT r4 item 8).
+
+4. **Structure plausibility** — the classic near-triple-point liquid
    (rho* = 0.84, kT* = 0.75, rc = 2.5 + LRC): first RDF peak position /
    height windows, thermostat on target (round-3 checks, kept).
 
-Prints one JSON line with per-point deltas and pass/fail.
+Prints one JSON line with per-point deltas and pass/fail, with checks
+split by GRADE: ``anchor`` checks compare against exact/published
+physics with stated budgets; ``plausibility`` checks are wide sanity
+windows. The JSON carries ``pass_anchor`` / ``pass_plausibility``
+separately so a regression in one class is never masked by (or blamed
+on) the other.
 """
 
 import json
@@ -120,9 +135,11 @@ def point_nist_sat_liquid(base="/tmp/validate_nist"):
     sem_e = block_sem(tail["energy"])
     sem_p = block_sem(tail["pressure"])
     d_u, d_p = mean_e - REF_U, mean_p - REF_P
-    checks = {
+    anchor = {
         "nist_energy_within_budget": bool(abs(d_u) < TOL_U + 3 * sem_e),
         "nist_pressure_within_budget": bool(abs(d_p) < TOL_P + 3 * sem_p),
+    }
+    plaus = {
         "nist_temperature_on_target": bool(abs(mean_t - temp) < 0.02),
     }
     return {
@@ -131,7 +148,7 @@ def point_nist_sat_liquid(base="/tmp/validate_nist"):
         "mean_E_per_N": round(mean_e, 4), "mean_P": round(mean_p, 4),
         "delta_U": round(d_u, 4), "delta_P": round(d_p, 4),
         "sem_U": round(sem_e, 4), "sem_P": round(sem_p, 4),
-        "checks": checks,
+        "anchor_checks": anchor, "plausibility_checks": plaus,
     }
 
 
@@ -154,7 +171,7 @@ def point_virial_dilute(base="/tmp/validate_virial"):
     u_pred = u2 * rho
     sem_u = block_sem(tail["energy"])
     u_budget = abs(u_pred) * 0.10 + 3 * sem_u  # O(rho^2) + stat
-    checks = {
+    anchor = {
         "boyle_pin_ok": bool(abs(boyle_resid) < 2e-3),
         "virial_Z_within_budget":
             bool(abs(z_mean - z_pred) < b3_budget + 3 * sem_z),
@@ -167,7 +184,72 @@ def point_virial_dilute(base="/tmp/validate_virial"):
         "delta_Z": round(z_mean - z_pred, 5), "sem_Z": round(sem_z, 5),
         "U_measured": round(u_mean, 5), "U_virial": round(u_pred, 5),
         "delta_U": round(u_mean - u_pred, 5),
-        "checks": checks,
+        "anchor_checks": anchor, "plausibility_checks": {},
+    }
+
+
+def fit_b2_b3(rhos, z_means, z_sems):
+    """SEM-weighted least squares of Z - 1 = b2 rho + b3 rho^2 (intercept
+    pinned at the exact ideal-gas limit Z(0) = 1). Returns (b2, b3,
+    err_b2): the 1-sigma error from the weighted covariance. Pure numpy —
+    host-side, zero shared code with the MD path."""
+    rho = np.asarray(rhos, np.float64)
+    y = np.asarray(z_means, np.float64) - 1.0
+    w = 1.0 / np.maximum(np.asarray(z_sems, np.float64), 1e-12) ** 2
+    X = np.stack([rho, rho * rho], axis=1)
+    xtw = X.T * w
+    cov = np.linalg.inv(xtw @ X)
+    beta = cov @ (xtw @ y)
+    return float(beta[0]), float(beta[1]), float(np.sqrt(cov[0, 0]))
+
+
+def point_b2_isotherm(base="/tmp/validate_isotherm"):
+    """Second anchor-grade pin (VERDICT r4 item 8): the T*=2.0 dilute
+    isotherm's fitted B2 vs the exact Mayer quadrature. Fitting the
+    quadratic term OUT (instead of budgeting |B3|) makes the comparison
+    pure B2 — and B2's expected value carries zero transcription risk: the
+    quadrature is pinned to the published Boyle temperature and B2*(T*=1)
+    (tests/test_validate_anchors.py).
+
+    N = 16384 (4x the other points): the intercept is PINNED at the exact
+    ideal-gas limit, which makes the fit maximally sensitive to any
+    N-constant systematic in Z — at N = 4096 a ~+0.002 finite-size offset
+    tilted b2 by +0.12 (2.7 sigma of the fit error); the O(1/N) offset
+    drops 4x here."""
+    temp, n = 2.0, 16384
+    rhos = (0.02, 0.05, 0.08)
+    b2 = float(lj_b2(temp))
+    z_means, z_sems = [], []
+    for rho in rhos:
+        out = f"{base}_rho{rho}"
+        _run_nvt(n, rho, temp, 3.0, 40_000, out, dt=0.004)
+        tail = _thermo_tail(out)
+        z = tail["pressure"] / (rho * tail["temperature"])
+        z_means.append(float(z.mean()))
+        z_sems.append(block_sem(z))
+    b2_fit, b3_fit, err_b2 = fit_b2_b3(rhos, z_means, z_sems)
+    # Budget: 3 sigma of the weighted fit + O(B4 rho_max^3) systematic
+    # (|B4(T*=2)| ~ O(1) -> < 6e-4; bounded generously at 0.02) + the
+    # finite-size/thermostat floor the single-point anchor measured (~0.003
+    # in Z ~ 0.04 in B2 at rho=0.08).
+    budget = 3 * err_b2 + 0.05
+    anchor = {
+        "isotherm_B2_matches_quadrature": bool(abs(b2_fit - b2) < budget),
+    }
+    plaus = {
+        # Published B3(T*=2.0) ~ +1.7 (from-memory value — hence
+        # plausibility-grade): the fitted curvature should be positive and
+        # O(1), not absorbing some systematic.
+        "isotherm_B3_sign_and_magnitude": bool(0.0 < b3_fit < 5.0),
+    }
+    return {
+        "config": f"LJ N={n} kT={temp} rc=3.0 isotherm, rho={list(rhos)}",
+        "B2_quadrature": round(b2, 5), "B2_fit": round(b2_fit, 5),
+        "delta_B2": round(b2_fit - b2, 5), "err_B2_fit": round(err_b2, 5),
+        "B3_fit": round(b3_fit, 4),
+        "Z_means": [round(z, 5) for z in z_means],
+        "Z_sems": [round(s, 6) for s in z_sems],
+        "anchor_checks": anchor, "plausibility_checks": plaus,
     }
 
 
@@ -202,7 +284,7 @@ def point_triple_rdf(base="/tmp/validate_run"):
     mean_t = float(tail["temperature"].mean())
     mean_p = float(tail["pressure"].mean())
     mean_e = float(tail["energy"].mean())
-    checks = {
+    plaus = {
         # dense LJ liquid: first RDF peak at ~1.05-1.15 sigma, height ~2.5-3.5
         "rdf_peak_r_in_range": bool(1.0 < peak_r < 1.2),
         "rdf_peak_height_in_range": bool(2.2 < peak_g < 4.0),
@@ -216,7 +298,7 @@ def point_triple_rdf(base="/tmp/validate_run"):
         "rdf_peak_r": round(peak_r, 3), "rdf_peak_g": round(peak_g, 2),
         "mean_T": round(mean_t, 4), "mean_P": round(mean_p, 3),
         "mean_E_per_N": round(mean_e, 3),
-        "checks": checks,
+        "anchor_checks": {}, "plausibility_checks": plaus,
     }
 
 
@@ -224,15 +306,22 @@ def main():
     points = {
         "nist_sat_liquid": point_nist_sat_liquid(),
         "virial_dilute": point_virial_dilute(),
+        "b2_isotherm": point_b2_isotherm(),
         "triple_point_rdf": point_triple_rdf(),
     }
-    all_checks = {}
+    anchor, plaus = {}, {}
     for name, p in points.items():
-        all_checks.update({f"{name}.{k}": v for k, v in p["checks"].items()})
+        anchor.update({f"{name}.{k}": v
+                       for k, v in p["anchor_checks"].items()})
+        plaus.update({f"{name}.{k}": v
+                      for k, v in p["plausibility_checks"].items()})
     print(json.dumps({
         "points": points,
-        "pass": all(all_checks.values()),
-        "failed": [k for k, v in all_checks.items() if not v],
+        "pass_anchor": all(anchor.values()),
+        "pass_plausibility": all(plaus.values()),
+        "pass": all(anchor.values()) and all(plaus.values()),
+        "failed_anchor": [k for k, v in anchor.items() if not v],
+        "failed_plausibility": [k for k, v in plaus.items() if not v],
     }))
 
 
