@@ -53,7 +53,7 @@ JULIA_BASELINE_STEPS_PER_SEC = 20.0  # documented estimate, see module docstring
 
 
 def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
-          cell_capacity=36, skin=0.6, poly=0.0, tuned=False):
+          cell_capacity=None, skin=0.6, poly=0.0, tuned=False):
     # skin 0.6 -> grid 14 (cell 3.1), mean occupancy 23.9; C=36 (+2.5 sigma,
     # overflow flag guards the tail) pads to the same 40 sublanes as any C in
     # 33..40 while halving the rebuild frequency vs skin 0.3 — measured best
@@ -89,9 +89,11 @@ def build(n=65536, rho=0.8, temp=1.0, dtype=jnp.float32, slot=False,
         # the dense-tile -> plane-scan auto-switch.
         engine = CellGridEngine.create_tuned(pot, 2.5, np.asarray(cell), n,
                                              diameters=np.asarray(diameters))
+        if cell_capacity is not None:
+            engine = engine.replace(cell_capacity=int(cell_capacity))
     else:
         engine = CellGridEngine.create(pot, 2.5, skin, np.asarray(cell), n,
-                                       cell_capacity=cell_capacity,
+                                       cell_capacity=cell_capacity or 36,
                                        diameters=np.asarray(diameters))
 
     if slot:
@@ -177,10 +179,22 @@ def poly_main(spread=0.2):
     for n in (65536, 262144):
         rows = {}
         for name, spr in (("uniform_sigma", 0.0), ("polydisperse", spread)):
-            state, advance, engine = build(n=n, slot=True, poly=spr,
-                                           tuned=n != 65536)
-            state = advance(state, 400)
-            jax.block_until_ready(state)
+            # Polydisperse occupancy tails are wider than the uniform-sigma
+            # sizing assumes (size disparity lets more centers pack into one
+            # cell) — retry with grown capacity on the latched overflow flag
+            # instead of asserting, like the driver does.
+            cap = None
+            for _ in range(4):
+                kw = {} if cap is None else {"cell_capacity": cap}
+                state, advance, engine = build(n=n, slot=True, poly=spr,
+                                               tuned=n != 65536, **kw)
+                state = advance(state, 400)
+                jax.block_until_ready(state)
+                if not bool(state.nbrs.overflow):
+                    break
+                cap = int(engine.cell_capacity * 1.4 + 4)
+            else:
+                raise RuntimeError("cell capacity still overflowing")
             n_steps = 600 if n <= 100_000 else 300
             elapsed = float("inf")
             for _ in range(3):

@@ -39,16 +39,23 @@ def main(n=65536, rho=0.9, ramp_steps=20_000, frequency=1000):
 
     out = tempfile.mkdtemp(prefix="bench_quench_")
     try:
-        # Warm the compile caches with a short slice of the same programs.
-        run_simulation(state, params,
-                       NVT(ExponentialRamp(1.5, 0.01, 2000), 0.1),
-                       2000, frequency, out)
+        # Warm the compile caches with short slices of the IDENTICAL
+        # programs: the ramp's n_steps is a STATIC pytree field (a
+        # different schedule length compiles a different program), and the
+        # timed run's event batching uses the bucket-16, bucket-4 and
+        # tail bucket-1 scan programs — cover all of them with two short
+        # runs of the same ramp object at denser frequencies.
+        run_simulation(state, params, NVT(ramp, 0.1), 2000, 125, out)
+        run_simulation(state, params, NVT(ramp, 0.1), 2000, 500, out)
 
         t0 = time.perf_counter()
         st = run_simulation(state, params, NVT(ramp, 0.1), ramp_steps,
                             frequency, out)
         t_ramp = time.perf_counter() - t0
 
+        # First call compiles the minimize-tuned FIRE programs; the timed
+        # second call re-runs the identical deterministic minimization.
+        minimize(st, params, out, 3, tol=1e-4)
         t0 = time.perf_counter()
         st2, energy, converged, n_steps = minimize(st, params, out, 3,
                                                    tol=1e-4)

@@ -307,6 +307,12 @@ _FRAME_BUFFER_BYTES = 48 * 2 ** 20
 
 
 def _frame_capacity(n, dim):
+    # MDTPU_FRAME_STACK=0 forces the classic one-frame-per-batch mode —
+    # the A/B lever for attributing driver-throughput changes to the
+    # stacking vs the hour's tunnel conditions (RPC floor and bandwidth
+    # swing 5-50 ms / several-x across sessions, BENCH_NOTES).
+    if os.environ.get("MDTPU_FRAME_STACK", "1") == "0":
+        return 1
     frame_bytes = 2 * dim * n * 4  # (2d, n) f32
     return int(max(1, min(_BATCH_BUCKETS[-1],
                           _FRAME_BUFFER_BYTES // frame_bytes)))

@@ -57,6 +57,34 @@ def main():
         print(f"call+pull x10: {(time.perf_counter()-t0)*1e2:.1f} ms each",
               flush=True)
 
+    # Overlap: pull a large array WHILE a long fused loop executes — can the
+    # driver hide the trajectory-frame pull under the next batch's compute,
+    # or does the tunnel serialize (round-3 measured small-pull overlap as
+    # SLOWER; re-check for one big pull)?
+    heavy = jax.jit(lambda x, k: jax.lax.fori_loop(
+        0, k, lambda i, y: jnp.sin(y) * 1.0001 + 1e-7, x))
+    big = jax.block_until_ready(jnp.zeros((16 * 6 * 65536,)) + 3.14)
+    y = jax.block_until_ready(jnp.zeros((2048, 2048)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(heavy(y, 2000))
+    t_heavy = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(big)
+    t_idle_pull = time.perf_counter() - t0
+    big2 = jax.block_until_ready(big + 1.0)  # fresh array (host cache)
+    t0 = time.perf_counter()
+    out = heavy(y, 2000)            # async dispatch
+    t_disp = time.perf_counter() - t0
+    np.asarray(big2)                # pull DURING execution
+    t_pull_done = time.perf_counter() - t0
+    jax.block_until_ready(out)
+    t_both = time.perf_counter() - t0
+    print(f"overlap: heavy={t_heavy*1e3:.0f} ms idle_pull_25MB="
+          f"{t_idle_pull*1e3:.0f} ms dispatch={t_disp*1e3:.0f} ms "
+          f"pull_during_exec={t_pull_done*1e3:.0f} ms both_done="
+          f"{t_both*1e3:.0f} ms (serialized would be "
+          f"{(t_heavy+t_idle_pull)*1e3:.0f} ms)", flush=True)
+
 
 if __name__ == "__main__":
     main()
