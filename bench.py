@@ -181,8 +181,10 @@ def poly_main(spread=0.2):
         for name, spr in (("uniform_sigma", 0.0), ("polydisperse", spread)):
             # Polydisperse occupancy tails are wider than the uniform-sigma
             # sizing assumes (size disparity lets more centers pack into one
-            # cell) — retry with grown capacity on the latched overflow flag
-            # instead of asserting, like the driver does.
+            # cell) — on the latched overflow flag (melt OR timed window),
+            # retry the whole measurement with grown capacity, like the
+            # driver's restore-and-rerun.
+            n_steps = 600 if n <= 100_000 else 300
             cap = None
             for _ in range(4):
                 kw = {} if cap is None else {"cell_capacity": cap}
@@ -190,20 +192,21 @@ def poly_main(spread=0.2):
                                                tuned=n != 65536, **kw)
                 state = advance(state, 400)
                 jax.block_until_ready(state)
+                if bool(state.nbrs.overflow):
+                    cap = int(engine.cell_capacity * 1.4 + 4)
+                    continue
+                elapsed = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    state = advance(state, n_steps)
+                    jax.block_until_ready(state)
+                    elapsed = min(elapsed, time.perf_counter() - t0)
                 if not bool(state.nbrs.overflow):
                     break
                 cap = int(engine.cell_capacity * 1.4 + 4)
             else:
                 raise RuntimeError("cell capacity still overflowing")
-            n_steps = 600 if n <= 100_000 else 300
-            elapsed = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                state = advance(state, n_steps)
-                jax.block_until_ready(state)
-                elapsed = min(elapsed, time.perf_counter() - t0)
             assert bool(jnp.isfinite(state.temperature))
-            assert not bool(state.nbrs.overflow)
             rows[name] = round(n_steps / elapsed, 1)
         print(json.dumps({
             "metric": f"steps/sec, N={n} LJ NVT f32, uniform vs "

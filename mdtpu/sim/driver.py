@@ -663,24 +663,23 @@ def _drive_events(state, engine, advance, *,
                 "energy": vecs[i, 0], "temperature": vecs[i, 1],
                 "virial": vecs[i, 2], "virial_accum": vecs[i, 3],
                 "nprom": vecs[i, 4]}))
+        rows_info = None
         if want_rows:
-            # ONE transfer for the whole frame stack (classic mode: the
-            # single final-state frame). When the batch holds fewer real
-            # frames than the buffer's capacity (sparse-traj cadences close
-            # batches at the bucket cap, not at a full buffer), slice the
-            # filled prefix ON DEVICE first — one extra async dispatch
-            # buys skipping the unfilled frames' bytes on the wire.
+            # The frame stack is NOT pulled here: its device handle rides
+            # back to the event loop, which pulls it AFTER dispatching the
+            # NEXT batch — one big transfer fully overlaps device execution
+            # (probe_pull: a 25 MB pull during a fused loop costs idle-pull
+            # time, round-5; only many SMALL interleaved pulls contend).
+            # Slice the filled prefix ON DEVICE first (sparse-traj cadences
+            # close batches at the bucket cap with a part-filled buffer) —
+            # one async dispatch buys skipping the unfilled bytes.
             n_real = int(row_flags.sum())
             rpf = 2 * dim  # rows per frame
             if rows_dev.shape[0] > n_real * rpf:
                 rows_dev = rows_dev[:n_real * rpf]
-            frames = np.asarray(rows_dev).reshape(n_real, rpf, -1)
-            fi = 0
-            for i, (ev, _) in enumerate(batch):
-                if row_flags[i]:
-                    outputs[i][1].update(_unpack_output_rows(frames[fi]))
-                    fi += 1
-        return state, engine, advance, outputs
+            rows_info = (rows_dev, [bool(f) for f in row_flags[:K]],
+                         n_real, rpf)
+        return state, engine, advance, outputs, rows_info
 
     meter = None
     if perf_log:
@@ -690,23 +689,44 @@ def _drive_events(state, engine, advance, *,
         meter = StepRateMeter(os.path.join(pathname, "perf.txt"),
                               append=start_step > 0)
 
+    def attach_rows(outputs, rows_info):
+        # Pull the previous batch's frame stack (ONE transfer — called
+        # right after the NEXT batch's advance was dispatched, so the
+        # transfer overlaps its device execution) and distribute the frames
+        # onto their row events.
+        if rows_info is None:
+            return
+        rows_dev, row_flags, n_real, rpf = rows_info
+        frames = np.asarray(rows_dev).reshape(n_real, rpf, -1)
+        fi = 0
+        for i, flag in enumerate(row_flags):
+            if flag:
+                outputs[i][1].update(_unpack_output_rows(frames[fi]))
+                fi += 1
+
     def dispatch_flush(p):
         # Clear as we go: on a raise AFTER this ran, the finally block's
         # best-effort flush must not write these items a second time
-        # (duplicate thermo rows / trajectory frames).
-        while p:
-            flush(p.pop(0))
+        # (duplicate thermo rows / trajectory frames). p = [outputs,
+        # rows_info] of the PREVIOUS batch: pull its frames first (big
+        # overlapped transfer), then write files while the device computes.
+        if not p:
+            return
+        outputs, rows_info = p.pop(0), p.pop(0)
+        attach_rows(outputs, rows_info)
+        while outputs:
+            flush(outputs.pop(0))
 
-    pending = []  # previous batch's (step_label, host data), not yet written
+    pending = []  # previous batch's [outputs, rows_info], not yet written
     try:
         for batch in batches:
-            state, engine, advance, outputs = run_batch(
+            state, engine, advance, outputs, rows_info = run_batch(
                 state, engine, advance, batch,
                 on_dispatched=lambda p=pending: dispatch_flush(p))
             last_ev = batch[-1][0]
             if meter is not None:
                 meter.tick(last_ev, sum(n_adv for _, n_adv in batch))
-            pending = outputs
+            pending[:] = [outputs, rows_info]
             if last_ev in checkpoint_steps:
                 from mdtpu.io.checkpoint import save_checkpoint
 
@@ -714,9 +734,7 @@ def _drive_events(state, engine, advance, *,
                                 os.path.join(pathname,
                                              f"checkpoint.{last_ev}.npz"))
 
-        for item in pending:
-            flush(item)
-        pending = []
+        dispatch_flush(pending)
     finally:
         # A mid-run raise (divergence, capacity-grow exhaustion) must not
         # lose the already-completed frames buffered in the async writer —
@@ -724,8 +742,7 @@ def _drive_events(state, engine, advance, *,
         import sys
 
         try:
-            for item in pending:
-                flush(item)
+            dispatch_flush(pending)
         except Exception:
             pass
         try:

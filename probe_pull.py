@@ -39,12 +39,27 @@ def main():
         ("one frame (6, 65536) 1.6MB", (6, 65536)),
         ("one old frame (8, 65536) 2.1MB", (8, 65536)),
         ("stack (16, 6, 65536) 25MB", (16, 6, 65536)),
+        ("driver buffer (96, 65536) 25MB", (96, 65536)),
         ("flat 25MB", (16 * 6 * 65536,)),
         ("flat 4MB", (1024 * 1024,)),
         ("flat 1.6MB", (6 * 65536,)),
     ]
     for name, shp in shapes:
         bench_shape(name, shp)
+
+    # Same 25 MB, flattened ON DEVICE before the pull (one HBM relayout
+    # copy) — if the tiled 2-D layout is what pays the 3-D stack's ~60%
+    # shape penalty, the driver should reshape(-1) before np.asarray.
+    f = jax.jit(lambda i: (jnp.zeros((96, 65536), jnp.float32) + i)
+                .reshape(-1))
+    arrs = [jax.block_until_ready(f(float(i))) for i in range(5)]
+    times = []
+    for a in arrs:
+        t0 = time.perf_counter()
+        np.asarray(a)
+        times.append(time.perf_counter() - t0)
+    print(f"device-flattened (96,65536)->1D: best={min(times[1:])*1e3:.1f} "
+          f"ms all={[round(t*1e3,1) for t in times]}", flush=True)
 
     # RPC floor: a trivial jitted call + scalar pull, interleaved.
     f = jax.jit(lambda x: x + 1.0)
