@@ -45,8 +45,17 @@ def format_lammps_frame(step, unitcell, positions, images, diameters) -> str:
     else:
         raise ValueError(f"unsupported dimension: {dim}")
 
-    # Unwrapped coordinates p + cell @ image (vectorised over all atoms).
-    unwrapped = positions + images.astype(np.float64) @ cell.T
+    # Unwrapped coordinates p + cell @ image. Accumulated per image
+    # component in a FIXED order (((p + c_k0 i_0) + c_k1 i_1) + c_k2 i_2)
+    # with separate rounded multiply/add — NOT a matmul: BLAS may use FMA
+    # and different summation order, which flips the last printed digit for
+    # values near a %.6f rounding boundary, and the native C++ writer
+    # (native/trajwriter.cc, built with -ffp-contract=off) must produce
+    # byte-identical frames (tests/test_io.py parity fuzz).
+    unwrapped = positions.copy()
+    imgf = images.astype(np.float64)
+    for j in range(dim):
+        unwrapped += imgf[:, j, None] * cell[None, :, j]
 
     radius = diameters / 2.0
     for i in range(n):

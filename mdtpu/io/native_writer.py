@@ -39,8 +39,12 @@ def _load_library():
         ):
             os.makedirs(_LIB_DIR, exist_ok=True)
             subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
-                 "-o", _LIB, "-lzstd", "-pthread"],
+                # -ffp-contract=off: the unwrapped-coordinate accumulation
+                # must round every multiply/add separately so frames are
+                # byte-identical to the Python writer (an FMA contraction
+                # flips last printed digits near %.6f rounding boundaries).
+                ["g++", "-O2", "-std=c++17", "-ffp-contract=off", "-shared",
+                 "-fPIC", _SRC, "-o", _LIB, "-lzstd", "-pthread"],
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_LIB)

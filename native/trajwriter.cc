@@ -36,6 +36,55 @@
 
 namespace {
 
+// Fast exact "%.6f": append the correctly-rounded fixed-6 decimal of v.
+//
+// printf's %.6f rounds the EXACT decimal expansion of the binary double to
+// 6 places; exact ties cannot occur (a tie needs v = (2k+1)/2e6, whose
+// reduced denominator contains 5^6 — never a power of two). The computed
+// product a*1e6 carries <= ~2e-16 relative error, so for scaled < 4e12 the
+// absolute error is < 1e-3: outside a +-1e-3 band around the .5 rounding
+// boundary the computed product rounds to the same integer as the exact
+// value and digits can be emitted directly (~10x faster than snprintf,
+// which dominated the writer at 20 MB/s / 251 ms per 65k-atom frame on one
+// core). Inside the band — ~0.2% of uniform values — and for huge/inf/nan
+// inputs, defer to snprintf, which is correctly rounded by construction.
+// Byte-for-byte identical to snprintf("%.6f") on every input by this
+// argument; pinned against Python "%.6f" in tests/test_io.py.
+inline char* fmt_ll(char* p, long long x) {
+  if (x < 0) {
+    *p++ = '-';
+    x = -x;
+  }
+  char tmp[20];
+  int k = 0;
+  do {
+    tmp[k++] = static_cast<char>('0' + (x % 10));
+    x /= 10;
+  } while (x);
+  while (k) *p++ = tmp[--k];
+  return p;
+}
+
+inline char* fmt_f6(char* p, double v) {
+  double a = std::fabs(v);
+  double scaled = a * 1e6;
+  double fl = std::floor(scaled);
+  double frac = scaled - fl;
+  if (!(scaled < 4.0e12) || std::fabs(frac - 0.5) < 1e-3) {
+    return p + std::snprintf(p, 64, "%.6f", v);
+  }
+  if (std::signbit(v)) *p++ = '-';  // includes -0.000000, like printf
+  long long i = static_cast<long long>(fl) + (frac > 0.5 ? 1 : 0);
+  p = fmt_ll(p, i / 1000000);
+  *p++ = '.';
+  long long fp = i % 1000000;
+  for (int d = 5; d >= 0; --d) {
+    p[d] = static_cast<char>('0' + (fp % 10));
+    fp /= 10;
+  }
+  return p + 6;
+}
+
 struct Frame {
   bool is_text = false;
   std::string text;
@@ -145,6 +194,7 @@ class Writer {
       emit("ITEM: ATOMS id type radius x y z xu yu zu\n");
     }
 
+    char row[512];
     for (int64_t i = 0; i < f.n; ++i) {
       const double* p = &f.pos[i * f.dim];
       const int32_t* im = &f.img[i * f.dim];
@@ -153,15 +203,22 @@ class Writer {
         uw[k] = p[k];
         for (int j = 0; j < f.dim; ++j) uw[k] += box[k][j] * im[j];
       }
-      if (f.dim == 2) {
-        emit("%lld 1 %.6f %.6f %.6f %.6f %.6f\n",
-             static_cast<long long>(i + 1), f.diam[i] / 2.0, p[0], p[1],
-             uw[0], uw[1]);
-      } else {
-        emit("%lld 1 %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n",
-             static_cast<long long>(i + 1), f.diam[i] / 2.0, p[0], p[1], p[2],
-             uw[0], uw[1], uw[2]);
+      char* q = row;
+      q = fmt_ll(q, i + 1);
+      *q++ = ' ';
+      *q++ = '1';
+      *q++ = ' ';
+      q = fmt_f6(q, f.diam[i] / 2.0);
+      for (int k = 0; k < f.dim; ++k) {
+        *q++ = ' ';
+        q = fmt_f6(q, p[k]);
       }
+      for (int k = 0; k < f.dim; ++k) {
+        *q++ = ' ';
+        q = fmt_f6(q, uw[k]);
+      }
+      *q++ = '\n';
+      out.append(row, static_cast<size_t>(q - row));
     }
     return out;
   }

@@ -137,3 +137,53 @@ def test_checkpoint_preserves_typed_key_representation(tmp_path):
     assert restored.key.shape == state.key.shape
     np.testing.assert_array_equal(jax.random.key_data(restored.key),
                                   jax.random.key_data(state.key))
+
+
+def test_native_writer_byte_parity_adversarial(tmp_path):
+    """The C++ async writer's fast fixed-6 formatter must be byte-identical
+    to the Python "%.6f" formatter (= printf, correctly rounded) — including
+    the ambiguous-rounding band where it falls back to snprintf, signed
+    zeros, and large magnitudes (native/trajwriter.cc fmt_f6)."""
+    import pytest
+
+    from mdtpu.io.native_writer import (NativeTrajectoryWriter,
+                                        native_available)
+
+    if not native_available():
+        pytest.skip("native writer unavailable (no toolchain)")
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    pos = rng.uniform(-60.0, 60.0, (n, 3))
+    # Adversarial rows: exact/near rounding-tie values (k + 1/2) * 1e-6
+    # (the snprintf-fallback band), band-edge values, signed zeros, tiny
+    # negatives (printf prints "-0.000000"), and large magnitudes.
+    ties = (rng.integers(0, 10_000_000, 256).astype(np.float64) + 0.5) * 1e-6
+    edge = ties + rng.choice([-1.2e-3, 1.2e-3], 256) * 1e-6
+    special = np.array([0.0, -0.0, 1e-9, -1e-9, 0.9999995, -0.9999995,
+                        1.0000005, 2.5e-7, -2.5e-7, 123456.7890005,
+                        4.2e6, -4.2e6, 5.0e12, 0.5e-6, -0.5e-6, 1.5e-6])
+    adv = np.concatenate([ties, edge, np.tile(special, 33)])[: 3 * (n // 4)]
+    pos.reshape(-1)[: adv.size] = adv
+    img = rng.integers(-700, 700, (n, 3)).astype(np.int32)
+    diam = rng.uniform(0.5, 2.5, n)
+    cell = np.array([[31.7, 1.3, 0.0], [0.0, 29.9, 2.1], [0.0, 0.0, 28.4]])
+
+    path = str(tmp_path / "native.lammps")
+    w = NativeTrajectoryWriter(path)
+    w.write_frame(12345, cell, pos, img, diam)
+    w.close()
+    with open(path) as f:
+        got = f.read()
+    want = format_lammps_frame(12345, cell, pos, img, diam)
+    assert got == want
+
+    # 2D layout too (separate row format).
+    path2 = str(tmp_path / "native2d.lammps")
+    w = NativeTrajectoryWriter(path2)
+    w.write_frame(7, cell[:2, :2], pos[:512, :2], img[:512, :2], diam[:512])
+    w.close()
+    with open(path2) as f:
+        got2 = f.read()
+    assert got2 == format_lammps_frame(7, cell[:2, :2], pos[:512, :2],
+                                       img[:512, :2], diam[:512])
