@@ -893,15 +893,19 @@ def run_simulation(
         # gather into the program, so reusing it across particle counts
         # (same tuned engine geometry for nearby N) would truncate or pad
         # the output rows.
+        # k_frames is part of the key: the program bakes the frame-buffer
+        # capacity, and MDTPU_FRAME_STACK can change it between calls in
+        # one process (the A/B lever) — a cached advance built for a
+        # different capacity would disagree with the caller's batching.
+        k_frames = _frame_capacity(n, dim)
         key = (params, ensemble, engine, compensated, hilo, use_slot,
-               is_brownian, n)
+               is_brownian, n, k_frames)
         try:
             cached = _ADVANCE_CACHE.get(key)
         except TypeError:
             key, cached = None, None
         if cached is not None:
             return cached
-        k_frames = _frame_capacity(n, dim)
         if use_slot:
             from mdtpu.integrate.slot_step import make_slot_advance
 
