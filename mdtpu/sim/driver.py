@@ -307,14 +307,21 @@ _FRAME_BUFFER_BYTES = 48 * 2 ** 20
 
 
 def _frame_capacity(n, dim):
-    # MDTPU_FRAME_STACK=0 forces the classic one-frame-per-batch mode —
-    # the A/B lever for attributing driver-throughput changes to the
-    # stacking vs the hour's tunnel conditions (RPC floor and bandwidth
-    # swing 5-50 ms / several-x across sessions, BENCH_NOTES).
-    if os.environ.get("MDTPU_FRAME_STACK", "1") == "0":
-        return 1
+    # MDTPU_FRAME_STACK: "0" forces classic one-frame-per-batch mode, any
+    # other integer caps the per-batch frame count — the A/B levers for
+    # attributing driver-throughput changes to stacking vs the hour's
+    # tunnel conditions (RPC floor and bandwidth swing 5-50 ms /
+    # several-x across sessions, BENCH_NOTES). Frame pulls overlap the
+    # NEXT batch's device execution, so the LAST batch's pull is always
+    # exposed — the default caps the stack at 4 frames: deep enough to
+    # amortize the per-batch RPC floor, shallow enough that the exposed
+    # tail is one small pull (probe_pull round-5: per-event pull time <
+    # per-event compute at trajectory cadences, so any depth overlaps).
+    cap = int(os.environ.get("MDTPU_FRAME_STACK", "4") or 4)
+    if cap <= 0:
+        cap = 1
     frame_bytes = 2 * dim * n * 4  # (2d, n) f32
-    return int(max(1, min(_BATCH_BUCKETS[-1],
+    return int(max(1, min(cap, _BATCH_BUCKETS[-1],
                           _FRAME_BUFFER_BYTES // frame_bytes)))
 
 
