@@ -187,7 +187,12 @@ def run_simulation_sharded(
         start_step=start_step, end_step=end_step,
         thermo_steps=thermo_steps, traj_steps=traj_steps, snap_set=snap_set,
         checkpoint_every=checkpoint_every, pathname=pathname,
-        thermo_file=thermo_file, traj_writer=traj_writer, perf_log=perf_log)
+        thermo_file=thermo_file, traj_writer=traj_writer, perf_log=perf_log,
+        # Strict dispatch-complete alternation: queuing a second sharded
+        # execution before the first finishes deadlocks CPU-mesh
+        # collectives (the 8-virtual-device test envs), and the per-batch
+        # host work the lookahead hides is single-chip tunnel physics.
+        pipeline=False)
 
     final = unshard_slot_state(sh)
     finalize_simulation(trajectory_file, pathname, end_step, final,

@@ -464,7 +464,8 @@ def _drive_events(state, engine, advance, *,
                   use_slot, is_brownian, ensemble, n, dim, volume, density,
                   e_lrc, p_lrc, diameters_np, start_step, end_step,
                   thermo_steps, traj_steps, snap_set, checkpoint_every,
-                  pathname, thermo_file, traj_writer, perf_log=False):
+                  pathname, thermo_file, traj_writer, perf_log=False,
+                  pipeline=True):
     """The event loop shared by the single-device and sharded drivers:
     batch the output schedule, advance through each batch in ONE jitted
     call, pull its scalars in ONE transfer, write files while the next
@@ -570,23 +571,14 @@ def _drive_events(state, engine, advance, *,
                                     jnp.asarray(row_flags))
         return _DEV_ARGS_CACHE[key]
 
-    def run_batch(state, engine, advance, batch, on_dispatched=None):
-        """Advance through every event of ``batch`` in ONE jitted call,
-        pull the (K, 8) scalar matrix in ONE transfer (plus the packed row
-        array if the batch ends at a trajectory/snapshot event), and recover
-        from engine capacity overflow (the fixed-shape analog of
-        CellListMap's dynamic cell lists).
-
-        Overflow recovery: an overflowing slot rebin scatters rows past
-        cell capacity to the trash column — the particles would be
-        PERMANENTLY lost (position, velocity, identity), silently corrupting
-        the run. So the pre-batch state is kept, and on any overflow the
-        batch is restored and re-run with grown capacity; the replay is
-        deterministic (per-step RNG is fold_in(key, step)), so no particle
-        is ever lost and the recovered trajectory is the one an always-
-        large-enough capacity would have produced. Particle-order engines
-        never drop rows on overflow, but the same restore-and-rerun gives
-        them trajectories free of transiently-degraded forces."""
+    def dispatch_batch(state, engine, advance, batch):
+        """Dispatch ONE jitted advance covering every event of ``batch``.
+        Purely asynchronous — returns the device handles plus everything
+        ``complete_batch`` needs to validate and publish the batch later.
+        With pipelining the NEXT batch is dispatched before this one is
+        completed, so the device queue never drains between batches (the
+        inter-batch dispatch+pull RPCs used to leave the chip idle
+        30-60 ms per batch on the tunnel)."""
         K = len(batch)
         # Engines whose advance carries collectives (rebin_unconditional)
         # run their final full step even for a zero-length segment —
@@ -602,18 +594,42 @@ def _drive_events(state, engine, advance, *,
             lengths[i] = n_adv
             flags[i] = 1 if ev in thermo_steps else 0
             row_flags[i] = 1 if ev in row_steps else 0
-        last_ev = batch[-1][0]
-        want_rows = bool(row_flags.any())
-        d_len, d_flags, d_rows = _dev_args(lengths, flags, row_flags)
-
+        d_args = _dev_args(lengths, flags, row_flags)
         seg_start = state
-        state, vecs_dev, rows_dev = advance(state, d_len, d_flags, d_rows)
-        if on_dispatched is not None:
-            # File writes of the previous batch overlap this batch's device
-            # execution (the dispatch above is async; the np.asarray below
-            # blocks). Pulls stay eager-after-block: overlapping TRANSFERS
-            # with execution is slower on the tunnel (BENCH_NOTES).
-            on_dispatched()
+        out_state, vecs_dev, rows_dev = advance(state, *d_args)
+        return {"batch": batch, "K": K, "seg_start": seg_start,
+                "state": out_state, "vecs_dev": vecs_dev,
+                "rows_dev": rows_dev, "row_flags": row_flags,
+                "d_args": d_args, "engine": engine, "advance": advance,
+                "n_steps": sum(n_adv for _, n_adv in batch)}
+
+    def complete_batch(h):
+        """Pull the dispatched batch's (K, 8) scalar matrix in ONE transfer
+        (blocking until the batch finishes on device — any later dispatch
+        is already queued behind it), run the health checks, recover from
+        engine capacity overflow, pull+attach the frame stack (the big
+        transfer overlaps the next batch's execution) and write the files.
+        Returns ``(state, engine, advance, recovered)``; ``recovered``
+        means the batch was re-run with a grown engine, so any dispatch
+        issued from its pre-recovery output state must be replayed.
+
+        Overflow recovery: an overflowing slot rebin scatters rows past
+        cell capacity to the trash column — the particles would be
+        PERMANENTLY lost (position, velocity, identity), silently
+        corrupting the run. So the pre-batch state is kept, and on any
+        overflow the batch is restored and re-run with grown capacity; the
+        replay is deterministic (per-step RNG is fold_in(key, step)), so
+        no particle is ever lost and the recovered trajectory is the one
+        an always-large-enough capacity would have produced. Particle-
+        order engines never drop rows on overflow, but the same restore-
+        and-rerun gives them trajectories free of transiently-degraded
+        forces."""
+        batch, K = h["batch"], h["K"]
+        engine, advance = h["engine"], h["advance"]
+        state, vecs_dev, rows_dev = h["state"], h["vecs_dev"], h["rows_dev"]
+        row_flags = h["row_flags"]
+        d_len, d_flags, d_rows = h["d_args"]
+        last_ev = batch[-1][0]
         vecs = np.asarray(vecs_dev)  # ONE scalar transfer for the batch
 
         def check_diverged(vecs):
@@ -633,6 +649,7 @@ def _drive_events(state, engine, advance, *,
         # flag — growing capacity and replaying would diverge identically 8
         # times and then report the wrong error.
         check_diverged(vecs)
+        recovered = False
         if bool(vecs[:K, 5].any()):
             import warnings
 
@@ -642,13 +659,14 @@ def _drive_events(state, engine, advance, *,
                     f"engine capacity overflow in batch ending step "
                     f"{last_ev}: restoring pre-batch state and re-running "
                     f"with {_capacity_msg(engine)}")
-                restored = restore(seg_start, engine)
+                restored = restore(h["seg_start"], engine)
                 if restored is None:
                     continue  # initial binning still too tight: grow again
                 advance = build_advance(engine)
                 state, vecs_dev, rows_dev = advance(restored, d_len, d_flags,
                                                     d_rows)
                 vecs = np.asarray(vecs_dev)
+                recovered = True
                 if not bool(vecs[:K, 5].any()):
                     break
             else:
@@ -670,23 +688,36 @@ def _drive_events(state, engine, advance, *,
                 "energy": vecs[i, 0], "temperature": vecs[i, 1],
                 "virial": vecs[i, 2], "virial_accum": vecs[i, 3],
                 "nprom": vecs[i, 4]}))
-        rows_info = None
-        if want_rows:
-            # The frame stack is NOT pulled here: its device handle rides
-            # back to the event loop, which pulls it AFTER dispatching the
-            # NEXT batch — one big transfer fully overlaps device execution
-            # (probe_pull: a 25 MB pull during a fused loop costs idle-pull
-            # time, round-5; only many SMALL interleaved pulls contend).
-            # Slice the filled prefix ON DEVICE first (sparse-traj cadences
-            # close batches at the bucket cap with a part-filled buffer) —
-            # one async dispatch buys skipping the unfilled bytes.
+        if bool(row_flags.any()):
+            # ONE transfer for the whole frame stack, pulled while any
+            # later-dispatched batch executes (probe_pull: a 25 MB pull
+            # during a fused loop costs idle-pull time; only many SMALL
+            # interleaved pulls contend). Slice the filled prefix ON
+            # DEVICE first (sparse-traj cadences close batches at the
+            # bucket cap with a part-filled buffer) — one async dispatch
+            # buys skipping the unfilled bytes.
             n_real = int(row_flags.sum())
             rpf = 2 * dim  # rows per frame
             if rows_dev.shape[0] > n_real * rpf:
                 rows_dev = rows_dev[:n_real * rpf]
-            rows_info = (rows_dev, [bool(f) for f in row_flags[:K]],
-                         n_real, rpf)
-        return state, engine, advance, outputs, rows_info
+            frames = np.asarray(rows_dev).reshape(n_real, rpf, -1)
+            fi = 0
+            for i in range(K):
+                if row_flags[i]:
+                    outputs[i][1].update(_unpack_output_rows(frames[fi]))
+                    fi += 1
+        # File writes overlap the next batch's device execution.
+        for item in outputs:
+            flush(item)
+        if meter is not None:
+            meter.tick(last_ev, h["n_steps"])
+        if last_ev in checkpoint_steps:
+            from mdtpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(to_particle_state(state),
+                            os.path.join(pathname,
+                                         f"checkpoint.{last_ev}.npz"))
+        return state, engine, advance, recovered
 
     meter = None
     if perf_log:
@@ -696,62 +727,44 @@ def _drive_events(state, engine, advance, *,
         meter = StepRateMeter(os.path.join(pathname, "perf.txt"),
                               append=start_step > 0)
 
-    def attach_rows(outputs, rows_info):
-        # Pull the previous batch's frame stack (ONE transfer — called
-        # right after the NEXT batch's advance was dispatched, so the
-        # transfer overlaps its device execution) and distribute the frames
-        # onto their row events.
-        if rows_info is None:
-            return
-        rows_dev, row_flags, n_real, rpf = rows_info
-        frames = np.asarray(rows_dev).reshape(n_real, rpf, -1)
-        fi = 0
-        for i, flag in enumerate(row_flags):
-            if flag:
-                outputs[i][1].update(_unpack_output_rows(frames[fi]))
-                fi += 1
-
-    def dispatch_flush(p):
-        # Clear as we go: on a raise AFTER this ran, the finally block's
-        # best-effort flush must not write these items a second time
-        # (duplicate thermo rows / trajectory frames). p = [outputs,
-        # rows_info] of the PREVIOUS batch: pull its frames first (big
-        # overlapped transfer), then write files while the device computes.
-        if not p:
-            return
-        outputs, rows_info = p.pop(0), p.pop(0)
-        attach_rows(outputs, rows_info)
-        while outputs:
-            flush(outputs.pop(0))
-
-    pending = []  # previous batch's [outputs, rows_info], not yet written
+    # One-batch dispatch-ahead pipeline: batch i+1 is dispatched BEFORE
+    # batch i is completed, so the device queue never drains between
+    # batches (each complete pays a blocking scalar pull and a dispatch
+    # RPC — 30-60 ms of chip idle per batch on the tunnel without the
+    # lookahead). If completing batch i recovers from overflow, the
+    # already-dispatched batch i+1 consumed i's pre-recovery output state
+    # and is simply re-dispatched from the corrected one (advances are
+    # pure). ``pipeline=False`` (the sharded driver) keeps strict
+    # dispatch-complete alternation: queuing a second sharded execution
+    # before the first finishes deadlocks CPU-mesh collectives, and real
+    # multi-chip meshes pay per-dispatch collective setup either way.
+    pending = None  # dispatched but not yet completed batch handle
     try:
         for batch in batches:
-            state, engine, advance, outputs, rows_info = run_batch(
-                state, engine, advance, batch,
-                on_dispatched=lambda p=pending: dispatch_flush(p))
-            last_ev = batch[-1][0]
-            if meter is not None:
-                meter.tick(last_ev, sum(n_adv for _, n_adv in batch))
-            pending[:] = [outputs, rows_info]
-            if last_ev in checkpoint_steps:
-                from mdtpu.io.checkpoint import save_checkpoint
-
-                save_checkpoint(to_particle_state(state),
-                                os.path.join(pathname,
-                                             f"checkpoint.{last_ev}.npz"))
-
-        dispatch_flush(pending)
+            if not pipeline and pending is not None:
+                state, engine, advance, _ = complete_batch(pending)
+                pending = None
+            h = dispatch_batch(state, engine, advance, batch)
+            state = h["state"]
+            if pending is not None:
+                cstate, engine, advance, recovered = complete_batch(pending)
+                if recovered:
+                    # h consumed the pre-recovery state — replay it from
+                    # the corrected one.
+                    h = dispatch_batch(cstate, engine, advance, batch)
+                    state = h["state"]
+            pending = h
+        if pending is not None:
+            state, engine, advance, _ = complete_batch(pending)
+            pending = None
     finally:
         # A mid-run raise (divergence, capacity-grow exhaustion) must not
         # lose the already-completed frames buffered in the async writer —
         # they are exactly the trajectory tail one debugs the failure with.
+        # A still-pending dispatched batch is NOT published: its events
+        # follow the failure point.
         import sys
 
-        try:
-            dispatch_flush(pending)
-        except Exception:
-            pass
         try:
             traj_writer.close()
         except Exception:

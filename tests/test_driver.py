@@ -750,3 +750,22 @@ def test_output_rows_travel_as_f32(small_system):
     out = _unpack_output_rows(rows)
     np.testing.assert_allclose(out["positions"],
                                np.asarray(state.positions), atol=1e-5)
+
+
+def test_slot_overflow_recovery_with_pipelined_lookahead(tmp_path):
+    """Overflow detected while the NEXT batch is already dispatched (the
+    driver's one-batch dispatch-ahead): completing the overflowing batch
+    re-runs it with grown capacity and the stale next-batch dispatch is
+    replayed from the corrected state — thermo rows must stay continuous
+    (each label exactly once, in order) and no particle may be lost."""
+    state, params, tight, n_steps = _tight_overflow_setup(tmp_path)
+    n = state.n_particles
+    total = n_steps + 600  # several batches beyond the overflow point
+    with pytest.warns(UserWarning, match="capacity overflow"):
+        out = run_simulation(state, params, NVE(), total, 40,
+                             str(tmp_path / "look"), engine=tight)
+    assert out.positions.shape == (n, 3)
+    assert np.isfinite(np.asarray(out.positions)).all()
+    rows = np.loadtxt(os.path.join(tmp_path, "look", "thermo.txt"))
+    assert np.isfinite(rows).all()
+    assert list(rows[:, 0].astype(int)) == list(range(0, total, 40))
